@@ -1,0 +1,155 @@
+"""The ``slideo`` command-line interface.
+
+Replaces crates/app/src/main.rs: positional FILES (pdfs + videos mixed),
+--invalidate-video-cache, --non-interactive/-n, the cache-driven skip logic
+with interactive prompts (main.rs:177-234), and the viewer auto-start when
+exactly one PDF is given (main.rs:97-100).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+from ..config import DEFAULT_CONFIG
+import dataclasses
+
+from .checked_path import CheckedPath, Kind
+from .db import Db
+from .hashing import hash_files
+from .pipeline import pdfs_to_images, sync
+from .progress import TerminalProgress
+from .web import start_server
+
+
+def _confirm(prompt: str) -> bool:
+    reply = input(f"{prompt} [y/N] ").strip().lower()
+    return reply in ("y", "yes")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="slideo",
+        description="Synchronize PDF slides with videos (TPU-native engine). "
+        "If only a single pdf is passed, opens a viewer.",
+    )
+    p.add_argument("files", nargs="+", type=Path, metavar="FILES",
+                   help="videos and pdfs to process")
+    p.add_argument("--invalidate-video-cache", action="store_true",
+                   help="invalidate cached mapping entries for the given files")
+    p.add_argument("--non-interactive", "-n", action="store_true",
+                   help="do not wait for user input")
+    p.add_argument("--no-server", action="store_true",
+                   help="never start the viewer server")
+    p.add_argument("--port", type=int, default=63944)
+    p.add_argument("--interval", type=float, default=None,
+                   help="frame sampling interval in seconds (default 5)")
+    p.add_argument("--decode-mode", choices=["grab", "seek"], default=None,
+                   help="video decode strategy (grab=reference-exact, seek=fast)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    # Backend override (e.g. SLIDEO_PLATFORM=cpu). This environment's
+    # sitecustomize may force jax_platforms after env vars are read, so an
+    # explicit config update is the only reliable switch.
+    platform = os.environ.get("SLIDEO_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+    cfg = DEFAULT_CONFIG
+    if args.interval is not None:
+        cfg = dataclasses.replace(
+            cfg, video=dataclasses.replace(cfg.video, interval_s=args.interval)
+        )
+    if args.decode_mode is not None:
+        cfg = dataclasses.replace(
+            cfg, video=dataclasses.replace(cfg.video, decode_mode=args.decode_mode)
+        )
+
+    try:
+        checked = [CheckedPath.from_path(f) for f in args.files]
+    except ValueError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    for c in checked:
+        if not c.path.exists():
+            print(f"error: file '{c.path}' does not exist", file=sys.stderr)
+            return 1
+
+    hashes = hash_files([c.path for c in checked])
+    for c, h in zip(checked, hashes):
+        c.hash = h
+
+    db = Db()
+    db.update_hashes([(str(c.path.resolve()), c.hash) for c in checked])
+
+    pdfs = [c for c in checked if c.kind == Kind.PDF]
+    videos = [c for c in checked if c.kind == Kind.VIDEO]
+
+    # Decide which videos need (re)processing (main.rs:177-234).
+    videos_to_process = []
+    pdf_hashes = {c.hash for c in pdfs}
+    for v in videos:
+        existing = db.find_mapping_info(v.hash)
+        if existing is not None and not args.invalidate_video_cache:
+            if not existing.finished:
+                if args.non_interactive or _confirm(
+                    f"Video '{v.path}' is currently being processed. Recompute?"
+                ):
+                    videos_to_process.append(v)
+                else:
+                    print("Skipping Video.")
+            elif not pdf_hashes.issubset(set(existing.pdf_hashes)):
+                if args.non_interactive:
+                    print(
+                        f"Recomputing Video '{v.path}', as it has been analyzed "
+                        "with different pdfs."
+                    )
+                    videos_to_process.append(v)
+                elif _confirm(
+                    f"Video '{v.path}' has been cached, but different pdfs are "
+                    "provided now. Recompute?"
+                ):
+                    videos_to_process.append(v)
+                else:
+                    print("Skipping Video.")
+            else:
+                print(f"Video '{v.path}' has already been cached, skipping.")
+        else:
+            videos_to_process.append(v)
+
+    if videos_to_process:
+        bar = TerminalProgress()
+        pages = pdfs_to_images(
+            [(c.path, c.hash) for c in pdfs], db, bar.get_reporter()
+        )
+        bar.finish()
+        if not pages:
+            print("error: no slide pages — pass at least one pdf", file=sys.stderr)
+            return 1
+        for v in videos_to_process:
+            db.create_or_reset_video(v.hash, sorted(pdf_hashes))
+        bar = TerminalProgress()
+        sync(
+            pages,
+            [(v.path, v.hash) for v in videos_to_process],
+            db,
+            cfg,
+            bar.get_reporter(),
+        )
+        bar.finish()
+
+    if not args.non_interactive and not args.no_server and len(pdfs) == 1:
+        start_server(pdfs[0].hash, db.path, args.port)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

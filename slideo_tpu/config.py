@@ -1,0 +1,107 @@
+"""Typed configuration for the slideo-tpu matching engine.
+
+Every algorithmic constant of the reference implementation is lifted into this
+config with the reference's exact default value, because output fidelity
+depends on them.  Reference locations (in /root/reference):
+
+- ORB params:            crates/matching-opencv/src/feature_extractor.rs:13-23
+- LSH / kNN params:      crates/matching-opencv/src/flann.rs:15-21, lib.rs:266
+- ratio filter 1.05:     crates/matching-opencv/src/lib.rs:275
+- top-40 candidates:     crates/matching-opencv/src/lib.rs:295
+- RANSAC 3.0/2000/0.99/10: crates/matching-opencv/src/image_utils.rs:52
+- rating>50, ratio>0.2:  crates/matching-opencv/src/lib.rs:333
+- similarity>0.5:        crates/matching-opencv/src/lib.rs:381
+- frame dedup 0.98:      crates/matching-opencv/src/video_capture.rs:98
+- sample interval 5 s:   crates/matching-opencv/src/lib.rs:145,175
+- small-image area 300*400: crates/matching-opencv/src/image_utils.rs:11
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+
+
+@dataclasses.dataclass(frozen=True)
+class OrbConfig:
+    """ORB-style feature extraction (reference: feature_extractor.rs:13-23)."""
+
+    n_features: int = 2000          # max keypoints per image
+    scale_factor: float = 1.2       # pyramid scale between levels
+    n_levels: int = 8               # pyramid levels
+    edge_threshold: int = 62        # border (px, per level) where no keypoints live
+    fast_threshold: int = 20        # FAST-9/16 intensity threshold
+    patch_size: int = 62            # orientation patch diameter
+    # TPU-specific (static-shape) knobs: keypoint slots are padded to this.
+    max_keypoints: int = 2048       # fixed keypoint slot count (>= n_features)
+    descriptor_bits: int = 256      # rBRIEF descriptor length in bits
+    blur_ksize: int = 7             # Gaussian blur before description (OpenCV ORB)
+    blur_sigma: float = 2.0
+    pattern_seed: int = 0x51DE0     # seed of the deterministic BRIEF point pattern
+
+    @cached_property
+    def per_level_quota(self) -> tuple[int, ...]:
+        """Keypoints allocated per pyramid level, geometric decay like OpenCV ORB.
+
+        n_l proportional to (1/scale_factor)^l, summing to n_features.
+        """
+        inv = 1.0 / self.scale_factor
+        factor = (1 - inv) / (1 - inv ** self.n_levels)
+        quotas = []
+        remaining = self.n_features
+        desired = self.n_features * factor
+        for lvl in range(self.n_levels - 1):
+            q = min(int(round(desired)), remaining)
+            quotas.append(q)
+            remaining -= q
+            desired *= inv
+        quotas.append(remaining)
+        return tuple(quotas)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Descriptor matching + verification cascade (reference: lib.rs:249-414)."""
+
+    knn_k: int = 30                 # kNN fan-out per query descriptor (lib.rs:266)
+    ratio: float = 1.05             # keep match iff dist < best*1.05 (lib.rs:275)
+    top_slides: int = 40            # candidate slides by match count (lib.rs:295)
+    max_matches_per_slide: int = 512  # static cap of match slots per candidate (TPU)
+    # RANSAC (image_utils.rs:52)
+    ransac_threshold: float = 3.0   # inlier reprojection threshold (px)
+    ransac_iters: int = 2000        # hypothesis count
+    ransac_refine_iters: int = 10   # least-squares refinement iterations
+    ransac_seed: int = 0xA5AC       # base PRNG seed (reference uses OpenCV's RNG)
+    # Acceptance cascade (lib.rs:329-381)
+    top_rated: int = 10             # candidates kept after RANSAC rating
+    min_rating: float = 50.0        # required inlier count
+    min_rating_ratio: float = 0.2   # required rating / best rating
+    min_similarity: float = 0.5     # required warped-image similarity
+    # Two-stage screening for large decks (TPU-specific; FLANN-LSH analogue).
+    screen_above_slides: int = 64   # screen when the deck has more slides than this
+    screen_slides: int = 64         # candidate slides surviving stage-1 screening
+    screen_bits: int = 64           # descriptor prefix bits used for screening
+    screen_queries: int = 512       # strongest frame keypoints used for screening
+    knn_chunk: int = 65536          # index descriptors per top-k scan chunk
+
+
+@dataclasses.dataclass(frozen=True)
+class VideoConfig:
+    """Frame sampling and dedup (reference: video_capture.rs, lib.rs:145)."""
+
+    interval_s: float = 5.0         # sample one frame per interval
+    dedup_similarity: float = 0.98  # frame changed iff similarity < this
+    small_image_area: int = 300 * 400  # max area of the comparison thumbnails
+    batch_size: int = 16            # frames per device batch
+    decode_mode: str = "grab"       # "grab" (reference-exact) | "seek" (fast)
+    decode_workers: int = 4         # parallel decode chunks in "seek" mode
+
+
+@dataclasses.dataclass(frozen=True)
+class SlideoConfig:
+    orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
+    match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
+    video: VideoConfig = dataclasses.field(default_factory=VideoConfig)
+
+
+DEFAULT_CONFIG = SlideoConfig()

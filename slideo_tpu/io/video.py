@@ -1,0 +1,158 @@
+"""Host-side video decoding: frame sampling, batching, parallel chunk decode.
+
+Replaces crates/matching-opencv/src/video_capture.rs: open the video, report
+total frames / total time, and yield one decoded frame per sampling interval
+(grab every frame header, decode only frames where
+``frame_idx % floor(fps*interval) < 1.0`` — video_capture.rs:52).
+
+Two decode modes:
+- "grab": reference-exact sequential grab/retrieve loop.
+- "seek": jump directly to the sampled frame indices; optionally with
+  several worker threads each decoding a contiguous chunk of the video.
+  This is the throughput mode for long videos (decode is the host-side
+  bottleneck; see SURVEY.md §7 "Hard parts").
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from queue import Queue
+from typing import Iterator
+
+import cv2
+import numpy as np
+
+__all__ = ["VideoInfo", "SampledFrame", "open_video_info", "sampled_frames"]
+
+
+@dataclass(frozen=True)
+class VideoInfo:
+    path: Path
+    fps: float
+    total_frames: int
+    width: int
+    height: int
+
+    @property
+    def total_time_s(self) -> float:
+        return self.total_frames / self.fps if self.fps > 0 else 0.0
+
+    def frames_to_process(self, interval_s: float) -> int:
+        return int(self.total_time_s / interval_s)
+
+    def sample_stride(self, interval_s: float) -> int:
+        """floor(fps * interval): a frame is sampled iff idx % stride == 0."""
+        return max(int(self.fps * interval_s), 1)
+
+
+@dataclass
+class SampledFrame:
+    """One decoded sampled frame. gray is [H, W] float32 (OpenCV BGR weights)."""
+
+    gray: np.ndarray
+    time_s: float
+    frame_idx: int
+
+
+def open_video_info(path: Path) -> VideoInfo:
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        raise IOError(f"Could not open video '{path}'")
+    info = VideoInfo(
+        path=Path(path),
+        fps=cap.get(cv2.CAP_PROP_FPS) or 0.0,
+        total_frames=int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+        width=int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        height=int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+    )
+    cap.release()
+    return info
+
+
+def _to_gray(frame: np.ndarray) -> np.ndarray:
+    if frame.ndim == 3:
+        frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
+    return frame.astype(np.float32)
+
+
+def _sampled_frames_grab(path: Path, interval_s: float) -> Iterator[SampledFrame]:
+    """Reference-exact loop (video_capture.rs:39-58): grab every frame,
+    retrieve one per interval."""
+    cap = cv2.VideoCapture(str(path))
+    fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
+    stride = max(int(fps * interval_s), 1)
+    try:
+        while True:
+            frame_idx = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+            if not cap.grab():
+                return
+            if frame_idx % stride == 0:
+                ok, frame = cap.retrieve()
+                if not ok:
+                    return
+                yield SampledFrame(_to_gray(frame), frame_idx / fps, frame_idx)
+    finally:
+        cap.release()
+
+
+def _decode_chunk(
+    path: Path, indices: list[int], fps: float, out: Queue, order: int
+) -> None:
+    cap = cv2.VideoCapture(str(path))
+    frames = []
+    try:
+        for idx in indices:
+            cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(SampledFrame(_to_gray(frame), idx / fps, idx))
+    finally:
+        cap.release()
+    out.put((order, frames))
+
+
+def _sampled_frames_seek(
+    path: Path, interval_s: float, workers: int
+) -> Iterator[SampledFrame]:
+    """Seek straight to sampled indices, decoding chunks in parallel threads
+    (cv2 releases the GIL inside ffmpeg)."""
+    info = open_video_info(path)
+    stride = info.sample_stride(interval_s)
+    indices = list(range(0, info.total_frames, stride))
+    if not indices:
+        return
+    workers = max(1, min(workers, len(indices)))
+    per = (len(indices) + workers - 1) // workers
+    chunks = [indices[i * per : (i + 1) * per] for i in range(workers)]
+    q: Queue = Queue()
+    threads = [
+        threading.Thread(
+            target=_decode_chunk, args=(path, ch, info.fps, q, i), daemon=True
+        )
+        for i, ch in enumerate(chunks)
+        if ch
+    ]
+    for t in threads:
+        t.start()
+    results: dict[int, list[SampledFrame]] = {}
+    for _ in threads:
+        order, frames = q.get()
+        results[order] = frames
+    for t in threads:
+        t.join()
+    for i in sorted(results):
+        yield from results[i]
+
+
+def sampled_frames(
+    path: Path,
+    interval_s: float = 5.0,
+    mode: str = "grab",
+    workers: int = 4,
+) -> Iterator[SampledFrame]:
+    if mode == "seek":
+        return _sampled_frames_seek(path, interval_s, workers)
+    return _sampled_frames_grab(path, interval_s)

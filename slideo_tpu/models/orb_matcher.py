@@ -1,0 +1,144 @@
+"""The flagship model: end-to-end ORB frame-vs-slides matcher, one XLA program.
+
+This is the TPU-native replacement for the reference's whole per-frame
+algorithm ``match_images_with_frame`` (crates/matching-opencv/src/lib.rs:
+249-414) plus the slide precompute ``ProcessedImage::compute`` (lib.rs:92-132):
+
+    features -> exact Hamming kNN (k=30) -> 5% ratio filter -> group by slide
+    -> top-40 by count -> vectorized RANSAC (thresh 3.0, 2000 iters) ->
+    top-10 by inliers, rating>50 & rating/best>0.2 -> inverse warp +
+    L2 similarity -> similarity>0.5 -> winner.
+
+All stages run on device with static shapes; a frame that matches nothing
+returns slide index -1 (the reference's ``image: None``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlideoConfig
+from ..ops import hamming, image, ransac, select, verify
+from ..ops.features import Features, extract_features
+
+__all__ = ["SlideIndex", "FrameMatch", "build_slide_index", "match_frame", "match_frames"]
+
+
+class SlideIndex(NamedTuple):
+    """Precomputed per-deck state living in device memory.
+
+    desc_index: flattened descriptor index over all slides
+    pts:        [S, K, 2] float32 keypoint positions per slide (page coords)
+    smalls:     [S, hs, ws] float32 slide thumbnails for verification
+    """
+
+    desc_index: hamming.DescriptorIndex
+    pts: jax.Array
+    smalls: jax.Array
+
+
+class FrameMatch(NamedTuple):
+    """Result for one frame: slide = -1 means "no slide visible"."""
+
+    slide: jax.Array        # int32
+    similarity: jax.Array   # float32 (of the winner; -inf if none survived)
+    rating: jax.Array       # float32 RANSAC inlier count of the winner
+
+
+def build_slide_index(slide_grays: jax.Array, cfg: SlideoConfig) -> SlideIndex:
+    """Extract features + thumbnails for all slides [S, H, W] float32.
+
+    The reference computes this per slide in a rayon pool (lib.rs:44-56);
+    here it is one lax.map'd device program.
+    """
+    feats: Features = jax.lax.map(
+        lambda im: extract_features(im, cfg.orb), slide_grays
+    )
+    index = hamming.build_index(feats.desc, feats.valid)
+    smalls = image.to_small_image(slide_grays, cfg.video.small_image_area)
+    return SlideIndex(desc_index=index, pts=feats.pts, smalls=smalls)
+
+
+def match_frame(
+    frame: jax.Array,
+    frame_seed: jax.Array,
+    index: SlideIndex,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+) -> FrameMatch:
+    """Match one [H, W] float32 grayscale frame against the slide index.
+
+    frame_seed: int32 scalar making RANSAC deterministic per frame (the
+    reference relies on OpenCV's global RNG; we key on the frame identity).
+    slide_hw: static full-resolution page size backing ``index.smalls``.
+    """
+    n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
+    mcfg = cfg.match
+
+    feats = extract_features(frame, cfg.orb)
+    knn_res = hamming.knn_frame(
+        feats.desc, feats.score, index.desc_index, n_slides, k_per_slide, mcfg
+    )
+    cands = select.select_candidates(knn_res, feats.valid, n_slides, mcfg)
+
+    # Gather matched point pairs: slide keypoints -> frame keypoints.
+    cand_pts = jnp.take(index.pts, cands.slide_ids, axis=0)        # [C, K, 2]
+    src = jnp.take_along_axis(cand_pts, cands.train_ids[..., None], axis=1)
+    dst = jnp.take(feats.pts, cands.query_ids, axis=0)             # [C, M, 2]
+    valid = cands.match_valid & cands.cand_valid[:, None]
+
+    key = jax.random.fold_in(jax.random.key(mcfg.ransac_seed), frame_seed)
+    rr = ransac.ransac_similarity(src, dst, valid, key, mcfg)
+
+    # Rating cascade (lib.rs:329-333): top-10 by inliers, floor 50,
+    # competitiveness 0.2 of the best rating.
+    t = min(mcfg.top_rated, rr.rating.shape[0])
+    top_rating, top_idx = jax.lax.top_k(rr.rating, t)
+    best_rating = top_rating[0]
+    retain = (top_rating > mcfg.min_rating) & (
+        top_rating / jnp.maximum(best_rating, 1e-9) > mcfg.min_rating_ratio
+    )
+    retain &= jnp.take(rr.ok & cands.cand_valid, top_idx)
+
+    top_t = ransac.Similarity(*(jnp.take(f, top_idx) for f in rr.transform))
+    top_slides = jnp.take(cands.slide_ids, top_idx)
+
+    sims = verify.warp_similarity(frame, top_t, index.smalls, top_slides, slide_hw)
+    sims = jnp.where(retain, sims, -jnp.inf)
+
+    # Final pick (lib.rs:370-383): max similarity, must exceed 0.5.
+    win = jnp.argmax(sims)
+    win_sim = sims[win]
+    accept = win_sim > mcfg.min_similarity
+    return FrameMatch(
+        slide=jnp.where(accept, top_slides[win], -1).astype(jnp.int32),
+        similarity=win_sim,
+        rating=top_rating[win],
+    )
+
+
+def match_frames(
+    frames: jax.Array,
+    frame_seeds: jax.Array,
+    index: SlideIndex,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+) -> FrameMatch:
+    """Match a [B, H, W] batch (sequential lax.map; each frame saturates the chip)."""
+    return jax.lax.map(
+        lambda args: match_frame(args[0], args[1], index, slide_hw, cfg),
+        (frames, frame_seeds),
+    )
+
+
+def jit_match_frames(slide_hw: tuple[int, int], cfg: SlideoConfig):
+    """Compiled batch matcher: (frames, seeds, index) -> FrameMatch.
+
+    The index is a traced argument (never close over device arrays in a jit —
+    they would be embedded into the executable as constants).
+    """
+    return jax.jit(partial(match_frames, slide_hw=slide_hw, cfg=cfg))

@@ -1,0 +1,147 @@
+"""Device image primitives: resize, blur, thumbnails, L2 similarity.
+
+TPU-first design notes
+----------------------
+Resampling is expressed as two dense matrix multiplies (one per axis) so the
+work lands on the MXU instead of gather units: ``out = Wy @ img @ Wx^T``.
+The weight matrices are computed host-side at trace time (shapes are static
+per (deck, video) bucket) and become jit constants.
+
+Replaces the reference's OpenCV calls (reference files in /root/reference):
+- ``to_small_image`` / INTER_AREA:  crates/matching-opencv/src/image_utils.rs:8-20
+- ``compute_similarity`` (L2 norm): crates/matching-opencv/src/image_utils.rs:22-27
+- pyramid INTER_LINEAR resize:      OpenCV ORB internals
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "small_size",
+    "resize",
+    "to_small_image",
+    "compute_similarity",
+    "gaussian_blur",
+    "bgr_to_gray",
+]
+
+
+def small_size(h: int, w: int, max_area: int = 300 * 400) -> tuple[int, int]:
+    """Thumbnail size with area <= max_area, preserving aspect ratio.
+
+    Mirrors image_utils.rs:8-20: factor = sqrt(max_area / area), truncating
+    toward zero like the Rust ``as i32`` casts.
+    """
+    factor = math.sqrt(max_area / float(h * w))
+    return int(h * factor), int(w * factor)
+
+
+@lru_cache(maxsize=256)
+def _resize_matrix(in_size: int, out_size: int, area: bool) -> np.ndarray:
+    """Dense [out_size, in_size] resampling matrix.
+
+    area=True  -> box-filter integration (OpenCV INTER_AREA for shrinking)
+    area=False -> bilinear with OpenCV's half-pixel convention
+                  (src = (dst + 0.5) * scale - 0.5)
+    """
+    w = np.zeros((out_size, in_size), dtype=np.float32)
+    scale = in_size / out_size
+    if area and scale >= 1.0:
+        for o in range(out_size):
+            lo = o * scale
+            hi = (o + 1) * scale
+            i0 = int(math.floor(lo))
+            i1 = min(int(math.ceil(hi)), in_size)
+            for i in range(i0, i1):
+                overlap = min(hi, i + 1) - max(lo, i)
+                if overlap > 0:
+                    w[o, i] = overlap / scale
+    else:
+        for o in range(out_size):
+            src = (o + 0.5) * scale - 0.5
+            i0 = int(math.floor(src))
+            frac = src - i0
+            ia = min(max(i0, 0), in_size - 1)
+            ib = min(max(i0 + 1, 0), in_size - 1)
+            w[o, ia] += 1.0 - frac
+            w[o, ib] += frac
+    return w
+
+
+def resize(img: jax.Array, out_hw: tuple[int, int], *, area: bool = False) -> jax.Array:
+    """Resize [..., H, W] float array to [..., h, w] via separable matmuls."""
+    h_in, w_in = img.shape[-2], img.shape[-1]
+    h_out, w_out = out_hw
+    # numpy constants: embedded directly into the lowered module (a device
+    # array here would force a device->host fetch during lowering).
+    wy = _resize_matrix(h_in, h_out, area)
+    wx = _resize_matrix(w_in, w_out, area)
+    x = img.astype(jnp.float32)
+    # [..., H, W] @ [W, w] -> [..., H, w]; then contract H with wy.
+    x = jnp.einsum("...hw,vw->...hv", x, wx, preferred_element_type=jnp.float32)
+    x = jnp.einsum("...hv,uh->...uv", x, wy, preferred_element_type=jnp.float32)
+    return x
+
+
+def to_small_image(img: jax.Array, max_area: int = 300 * 400) -> jax.Array:
+    """Downscale [..., H, W] to area <= max_area (image_utils.rs:8-20)."""
+    h, w = img.shape[-2], img.shape[-1]
+    return resize(img, small_size(h, w, max_area), area=True)
+
+
+def compute_similarity(img1: jax.Array, img2: jax.Array, channels: int = 3) -> jax.Array:
+    """1 - ||img1-img2||_2 / sqrt(255^2 * channels * pixels).
+
+    Mirrors image_utils.rs:22-27. The reference always divides by the
+    3-channel max error even when comparing effectively-grayscale slides, so
+    ``channels`` defaults to 3; pass the true channel count of the inputs.
+    Broadcasts over leading batch dims; reduces over the trailing image dims.
+    """
+    # channels==1: images are [..., H, W]; channels==3: [..., H, W, 3].
+    ndim_img = 2 if channels == 1 else 3
+    axes = tuple(range(-ndim_img, 0))
+    diff = img1.astype(jnp.float32) - img2.astype(jnp.float32)
+    err = jnp.sqrt(jnp.sum(diff * diff, axis=axes))
+    # pixels = rows*cols only (the reference's max_error ignores channels in
+    # the pixel count but multiplies 255^2 by 3, image_utils.rs:24-26).
+    rows, cols = img1.shape[-ndim_img], img1.shape[-ndim_img + 1]
+    max_err = math.sqrt(255.0 * 255.0 * channels * rows * cols)
+    return 1.0 - err / max_err
+
+
+@lru_cache(maxsize=16)
+def _gauss_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    xs = np.arange(ksize, dtype=np.float64) - (ksize - 1) / 2.0
+    k = np.exp(-(xs**2) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
+    """Separable Gaussian blur of [..., H, W] with reflect-101 edges (OpenCV default)."""
+    k = _gauss_kernel_1d(ksize, sigma)
+    pad = ksize // 2
+    x = img.astype(jnp.float32)
+    lead = x.shape[:-2]
+    h, w = x.shape[-2:]
+    x = x.reshape((-1, 1, h, w))
+    x = jnp.pad(x, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    kx = jnp.asarray(k.reshape(1, 1, 1, ksize))
+    ky = jnp.asarray(k.reshape(1, 1, ksize, 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kx.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), "VALID", dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1), "VALID", dimension_numbers=dn)
+    return x.reshape(lead + (h, w))
+
+
+def bgr_to_gray(img: jax.Array) -> jax.Array:
+    """OpenCV BGR -> grayscale: 0.299 R + 0.587 G + 0.114 B for [..., H, W, 3]."""
+    w = np.asarray([0.114, 0.587, 0.299], dtype=np.float32)
+    return jnp.einsum("...c,c->...", img.astype(jnp.float32), w)

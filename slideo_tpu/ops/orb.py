@@ -1,0 +1,148 @@
+"""ORB-style oriented binary descriptors, vectorized over keypoints.
+
+TPU-native replacement for OpenCV ORB's orientation + rBRIEF stages
+(reference: crates/matching-opencv/src/feature_extractor.rs:29-47).
+
+Design: per keypoint we extract one square patch from the blurred level image
+with ``lax.dynamic_slice`` (vmapped), then all further work — the intensity
+centroid orientation and the 256 rotated point-pair comparisons — happens
+inside that patch with purely local, fixed-shape arithmetic.  This keeps the
+irregular memory access down to a single gather per keypoint instead of 512.
+
+Bit-exact OpenCV parity is not a goal (the acceptance cascade's margins make
+end-to-end assignment parity achievable without it — see SURVEY.md §7); the
+descriptor uses a deterministic seeded Gaussian point pattern (BRIEF-style)
+rather than OpenCV's learned table, applied identically to slides and frames.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "brief_pattern",
+    "extract_patches",
+    "orientations",
+    "descriptors",
+    "pack_descriptor_bits",
+]
+
+# Patch geometry: orientation uses the circular disc of radius HALF_PATCH;
+# descriptor points live within DESC_RADIUS so that after any rotation they
+# stay inside the extracted patch (DESC_RADIUS * sqrt(2) <= HALF_PATCH).
+HALF_PATCH = 31          # reference patch_size=62 -> radius 31
+DESC_RADIUS = 15         # BRIEF point radius (OpenCV pattern is +-15 too)
+PATCH = 2 * HALF_PATCH + 1
+
+
+@lru_cache(maxsize=4)
+def brief_pattern(n_bits: int = 256, seed: int = 0x51DE0) -> np.ndarray:
+    """Deterministic BRIEF sampling pattern: [n_bits, 2 points, 2 coords(x,y)].
+
+    Points are iid Gaussian(0, (2*DESC_RADIUS/5)^2) clipped to the disc of
+    radius DESC_RADIUS (the BRIEF paper's G-II geometry). The pattern is a
+    compile-time constant shared by slides and frames.
+    """
+    rng = np.random.RandomState(seed)
+    sigma = 2.0 * DESC_RADIUS / 5.0
+    pts = rng.randn(n_bits, 2, 2) * sigma
+    norm = np.linalg.norm(pts, axis=-1, keepdims=True)
+    scale = np.minimum(1.0, DESC_RADIUS / np.maximum(norm, 1e-6))
+    return (pts * scale).astype(np.float32)
+
+
+@lru_cache(maxsize=4)
+def _disc_mask(radius: int = HALF_PATCH) -> np.ndarray:
+    ys, xs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    return (ys * ys + xs * xs <= radius * radius).astype(np.float32)
+
+
+def extract_patches(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+    """Extract [K, PATCH, PATCH] patches centered at integer (ys, xs).
+
+    Centers are assumed >= HALF_PATCH from every edge (the detector's border
+    guarantee); invalid (padded) keypoints at (0,0) clamp harmlessly.
+    """
+    def one(y, x):
+        y0 = jnp.clip(y - HALF_PATCH, 0, img.shape[0] - PATCH)
+        x0 = jnp.clip(x - HALF_PATCH, 0, img.shape[1] - PATCH)
+        return jax.lax.dynamic_slice(img, (y0, x0), (PATCH, PATCH))
+
+    return jax.vmap(one)(ys, xs)
+
+
+def orientations(patches: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Intensity-centroid orientation per patch (OpenCV IC_Angle equivalent).
+
+    Returns (cos, sin) of the angle = atan2(m01, m10) over the circular disc.
+    """
+    mask = _disc_mask()
+    ys = np.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=np.float32)
+    m10 = jnp.einsum("kij,j,ij->k", patches, ys, mask)  # x moment (axis 1 = x)
+    m01 = jnp.einsum("kij,i,ij->k", patches, ys, mask)  # y moment
+    norm = jnp.sqrt(m10 * m10 + m01 * m01)
+    safe = jnp.maximum(norm, 1e-9)
+    # For a zero moment vector fall back to angle 0.
+    c = jnp.where(norm > 1e-9, m10 / safe, 1.0)
+    s = jnp.where(norm > 1e-9, m01 / safe, 0.0)
+    return c, s
+
+
+def _bilinear_patch(patch: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sample of one [PATCH, PATCH] patch at patch-centered coords."""
+    fx = x + HALF_PATCH
+    fy = y + HALF_PATCH
+    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, PATCH - 2)
+    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, PATCH - 2)
+    ax = fx - x0
+    ay = fy - y0
+    flat = patch.reshape(-1)
+    idx = y0 * PATCH + x0
+    v00 = jnp.take(flat, idx)
+    v01 = jnp.take(flat, idx + 1)
+    v10 = jnp.take(flat, idx + PATCH)
+    v11 = jnp.take(flat, idx + PATCH + 1)
+    return (
+        v00 * (1 - ay) * (1 - ax)
+        + v01 * (1 - ay) * ax
+        + v10 * ay * (1 - ax)
+        + v11 * ay * ax
+    )
+
+
+def descriptors(
+    patches: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    n_bits: int = 256,
+    seed: int = 0x51DE0,
+) -> jax.Array:
+    """Steered binary descriptors as +-1 int8: [K, n_bits].
+
+    bit = sign(I(R p_b) - I(R p_a)) with R the keypoint's orientation
+    rotation; +1 where the second point is brighter (matching the comparison
+    direction of OpenCV's ``I(A) < I(B)``).
+    """
+    pat = brief_pattern(n_bits, seed)  # [n, 2, 2] (x, y) — numpy constant
+    px, py = pat[..., 0], pat[..., 1]               # [n, 2]
+
+    def one(patch, c, s):
+        rx = c * px - s * py
+        ry = s * px + c * py
+        vals = _bilinear_patch(patch, rx.reshape(-1), ry.reshape(-1))
+        vals = vals.reshape(n_bits, 2)
+        return jnp.where(vals[:, 1] > vals[:, 0], 1, -1).astype(jnp.int8)
+
+    return jax.vmap(one)(patches, cos, sin)
+
+
+def pack_descriptor_bits(desc_pm1: jax.Array) -> jax.Array:
+    """Pack +-1 int8 [K, 256] descriptors into uint32 [K, 8] bit words."""
+    k, n = desc_pm1.shape
+    bits = (desc_pm1 > 0).astype(jnp.uint32).reshape(k, n // 32, 32)
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)

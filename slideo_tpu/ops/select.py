@@ -1,0 +1,102 @@
+"""Match filtering, per-slide grouping, and candidate compaction.
+
+Device-side equivalent of the reference's per-frame match bookkeeping
+(crates/matching-opencv/src/lib.rs:268-295): the 5%-of-best distance filter,
+grouping matches by slide, ranking slides by match count, and taking the top
+40 candidates — all as masked fixed-shape ops (segment-sum + top-k) instead
+of hash maps.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import MatchConfig
+from .hamming import KnnResult
+
+__all__ = ["CandidateMatches", "select_candidates"]
+
+
+class CandidateMatches(NamedTuple):
+    """Per-candidate-slide compacted matches, fixed shapes.
+
+    slide_ids:  [C] int32 candidate slide (top-C by kept-match count)
+    cand_valid: [C] bool candidate has any kept match
+    query_ids:  [C, M] int32 frame keypoint slot of each match
+    train_ids:  [C, M] int32 slide keypoint slot of each match
+    match_valid:[C, M] bool  (valid entries are compacted to the front,
+                              ordered by ascending distance)
+    counts:     [C] float32 kept-match count (the reference's grouping size)
+    """
+
+    slide_ids: jax.Array
+    cand_valid: jax.Array
+    query_ids: jax.Array
+    train_ids: jax.Array
+    match_valid: jax.Array
+    counts: jax.Array
+
+
+def select_candidates(
+    matches: KnnResult,
+    query_valid: jax.Array,
+    n_slides: int,
+    cfg: MatchConfig,
+) -> CandidateMatches:
+    """Apply the ratio filter and compact matches per top candidate slide.
+
+    matches: KnnResult with [Q, k] arrays, distances ascending per query.
+    query_valid: [Q] bool.
+
+    The kept-match rule replicates lib.rs:275 exactly:
+    ``dist < best_dist * 1.05`` with best = the query's nearest neighbour —
+    including its quirk that a best distance of 0 keeps nothing.
+    """
+    q, k = matches.dist.shape
+    best = matches.dist[:, :1]
+    keep = matches.dist < best * cfg.ratio
+    keep &= matches.valid & query_valid[:, None]
+
+    flat_keep = keep.reshape(-1)
+    flat_slide = matches.slide.reshape(-1)
+    flat_dist = matches.dist.reshape(-1)
+    flat_train = matches.train.reshape(-1)
+    flat_query = (
+        jnp.broadcast_to(jnp.arange(q, dtype=jnp.int32)[:, None], (q, k)).reshape(-1)
+    )
+
+    counts = jax.ops.segment_sum(
+        flat_keep.astype(jnp.float32), flat_slide, num_segments=n_slides
+    )
+    c = min(cfg.top_slides, n_slides)
+    top_counts, cand_slides = jax.lax.top_k(counts, c)
+    cand_slides = cand_slides.astype(jnp.int32)
+    cand_valid = top_counts > 0
+
+    # Compact each candidate's matches: rank key puts kept matches of the
+    # candidate first, ordered by ascending distance.
+    m = cfg.max_matches_per_slide
+    big = jnp.float32(1e9)
+
+    def compact(slide_id):
+        mine = flat_keep & (flat_slide == slide_id)
+        key = jnp.where(mine, big - flat_dist, -big)
+        topv, idx = jax.lax.top_k(key, min(m, key.shape[0]))
+        return (
+            jnp.take(flat_query, idx),
+            jnp.take(flat_train, idx),
+            topv > 0,
+        )
+
+    query_ids, train_ids, match_valid = jax.vmap(compact)(cand_slides)
+    return CandidateMatches(
+        slide_ids=cand_slides,
+        cand_valid=cand_valid,
+        query_ids=query_ids,
+        train_ids=train_ids,
+        match_valid=match_valid,
+        counts=top_counts,
+    )

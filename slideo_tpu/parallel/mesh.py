@@ -1,0 +1,136 @@
+"""Multi-chip scaling: frame-data-parallel and index-parallel sharding.
+
+The reference's only parallelism is a CPU rayon pool over frames
+(crates/matching-opencv/src/lib.rs:174-221, SURVEY.md §2.8). The TPU-native
+equivalents here:
+
+- **Frame DP** (primary): shard the frame batch over a 1-D mesh; the slide
+  descriptor index is replicated (<=1000 slides x 2048 x 256 int8 = 512 MB,
+  fits HBM). No collectives are needed beyond the output gather: each frame's
+  result is 3 scalars.
+
+- **Index parallel** (for decks beyond HBM or to cut per-frame latency):
+  shard the *descriptor index rows* over the mesh; every device computes
+  its local top-k against its shard, then an all_gather + merge produces the
+  exact global top-k (the merge of per-shard top-k is exact because the
+  global top-k is a subset of the union).
+
+Both compose in a 2-D ("frames", "index") mesh; ICI carries only [Q, k]
+top-k tuples, never descriptors.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import SlideoConfig
+from ..models import orb_matcher
+from ..ops import hamming
+
+__all__ = ["make_mesh", "shard_index", "match_frames_sharded", "knn_index_sharded"]
+
+
+def make_mesh(devices=None, axis: str = "frames") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def match_frames_sharded(
+    mesh: Mesh,
+    frames: jax.Array,
+    frame_seeds: jax.Array,
+    index: orb_matcher.SlideIndex,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+) -> orb_matcher.FrameMatch:
+    """Frame-data-parallel matching over a 1-D mesh.
+
+    frames: [B, H, W] with B divisible by the mesh size. The index is
+    replicated; each device runs the full per-frame program on its shard.
+    """
+    axis = mesh.axis_names[0]
+    fn = jax.shard_map(
+        partial(
+            orb_matcher.match_frames, index=index, slide_hw=slide_hw, cfg=cfg
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(frames, frame_seeds)
+
+
+def shard_index(
+    mesh: Mesh, index: orb_matcher.SlideIndex, axis: str = "index"
+) -> orb_matcher.SlideIndex:
+    """Place the descriptor index rows on the mesh's ``axis``; keypoint
+    tables and thumbnails stay replicated (they are consumed per-candidate)."""
+    row_sharding = NamedSharding(mesh, P(axis, None))
+    vec_sharding = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    di = index.desc_index
+    return orb_matcher.SlideIndex(
+        desc_index=hamming.DescriptorIndex(
+            desc=jax.device_put(di.desc, row_sharding),
+            slide_ids=jax.device_put(di.slide_ids, vec_sharding),
+            train_ids=jax.device_put(di.train_ids, vec_sharding),
+            valid=jax.device_put(di.valid, vec_sharding),
+        ),
+        pts=jax.device_put(index.pts, rep),
+        smalls=jax.device_put(index.smalls, rep),
+    )
+
+
+def knn_index_sharded(
+    mesh: Mesh,
+    query: jax.Array,
+    index: hamming.DescriptorIndex,
+    k: int,
+    chunk: int,
+    axis: str = "index",
+) -> hamming.KnnResult:
+    """Exact global kNN with the index sharded over ``axis``.
+
+    Each device computes top-k against its local index shard (streamed in
+    chunks), then the per-shard candidate lists are all_gathered and merged.
+    ICI traffic: [Q, k * n_dev] score/id tuples — tiny next to the index.
+    """
+    n_dev = mesh.shape[axis]
+    n_total = index.desc.shape[0]
+    d_bits = query.shape[1]
+
+    def local(q, desc, slide_ids, train_ids, valid):
+        my = jax.lax.axis_index(axis)
+        scores, rows = hamming._chunked_topk_scores(q, desc, valid, k, chunk)
+        slide = jnp.take(slide_ids, rows)
+        train = jnp.take(train_ids, rows)
+        # Gather each shard's candidates and merge to the global top-k.
+        all_scores = jax.lax.all_gather(scores, axis, axis=1)  # [Q, n_dev, k]
+        all_slide = jax.lax.all_gather(slide, axis, axis=1)
+        all_train = jax.lax.all_gather(train, axis, axis=1)
+        qn = q.shape[0]
+        flat_s = all_scores.reshape(qn, n_dev * k)
+        best, sel = jax.lax.top_k(flat_s, k)
+        take = lambda a: jnp.take_along_axis(a.reshape(qn, n_dev * k), sel, axis=1)
+        dist = (d_bits - best).astype(jnp.float32) * 0.5
+        return hamming.KnnResult(
+            dist=dist,
+            slide=take(all_slide),
+            train=take(all_train),
+            valid=best > hamming._NEG // 2,
+        )
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(axis), P(axis), P(axis)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(query, index.desc, index.slide_ids, index.train_ids, index.valid)

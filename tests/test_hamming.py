@@ -1,0 +1,98 @@
+"""Hamming kNN: MXU matmul path vs the native C++ popcount oracle."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slideo_tpu.config import DEFAULT_CONFIG
+from slideo_tpu.ops import hamming
+from slideo_tpu import native
+
+
+def _random_desc(rng, n):
+    return rng.choice(np.array([-1, 1], np.int8), size=(n, 256))
+
+
+def _pack(desc_pm1):
+    bits = (desc_pm1 > 0).astype(np.uint8)
+    return np.packbits(bits, axis=1, bitorder="little").view(np.uint64)
+
+
+def test_knn_exact_small(rng):
+    q = _random_desc(rng, 64)
+    # index: 4 slides x 32 slots, some invalid
+    s, k = 4, 32
+    d = _random_desc(rng, s * k).reshape(s, k, 256)
+    valid = rng.rand(s, k) > 0.2
+    # plant exact matches: query 0 == slide 2 slot 5
+    d[2, 5] = q[0]
+    valid[2, 5] = True
+    index = hamming.build_index(jnp.asarray(d), jnp.asarray(valid))
+    res = hamming.knn(jnp.asarray(q), index, k=5, chunk=37)  # odd chunk on purpose
+
+    dist = np.asarray(res.dist)
+    assert dist[0, 0] == 0.0
+    assert int(res.slide[0, 0]) == 2 and int(res.train[0, 0]) == 5
+    # distances ascending per query
+    assert (np.diff(dist, axis=1) >= 0).all()
+
+    # brute-force oracle over valid entries
+    flat = d.reshape(-1, 256)
+    fv = valid.reshape(-1)
+    ham = (256 - q.astype(np.int32) @ flat.T.astype(np.int32)) // 2
+    ham = np.where(fv[None, :], ham, 10**9)
+    expect = np.sort(ham, axis=1)[:, :5]
+    assert (dist == expect).all()
+
+
+def test_knn_matches_native_oracle(rng):
+    if not native.available():
+        pytest.skip("native backend unavailable")
+    q = _random_desc(rng, 40)
+    d = _random_desc(rng, 300)
+    index = hamming.build_index(
+        jnp.asarray(d.reshape(1, 300, 256)), jnp.ones((1, 300), bool)
+    )
+    res = hamming.knn(jnp.asarray(q), index, k=8, chunk=64)
+    nd, _ = native.hamming_knn(_pack(q), _pack(d), 8)
+    assert (np.asarray(res.dist) == nd).all()
+
+
+def test_knn_fewer_valid_than_k(rng):
+    q = _random_desc(rng, 8)
+    d = _random_desc(rng, 16).reshape(1, 16, 256)
+    valid = np.zeros((1, 16), bool)
+    valid[0, :3] = True
+    index = hamming.build_index(jnp.asarray(d), jnp.asarray(valid))
+    res = hamming.knn(jnp.asarray(q), index, k=6, chunk=16)
+    v = np.asarray(res.valid)
+    assert (v[:, :3]).all() and not v[:, 3:].any()
+
+
+def test_screening_finds_true_slide(rng):
+    """Large-deck screening must keep the slide the frame actually shows."""
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG.match,
+        screen_above_slides=4,
+        screen_slides=4,
+        screen_queries=32,
+        knn_chunk=512,
+    )
+    s, k = 12, 64
+    d = _random_desc(rng, s * k).reshape(s, k, 256)
+    valid = np.ones((s, k), bool)
+    # the frame's descriptors are noisy copies of slide 7's
+    q = d[7, :40].copy()
+    flips = rng.rand(40, 256) < 0.05
+    q = np.where(flips, -q, q).astype(np.int8)
+    q_scores = rng.rand(40).astype(np.float32) + 1.0
+
+    index = hamming.build_index(jnp.asarray(d), jnp.asarray(valid))
+    res = hamming.knn_frame(
+        jnp.asarray(q), jnp.asarray(q_scores), index, s, k, cfg
+    )
+    # nearest neighbour of most queries should be slide 7
+    top_slides = np.asarray(res.slide)[:, 0]
+    assert (top_slides == 7).mean() > 0.9

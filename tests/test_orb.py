@@ -1,0 +1,76 @@
+"""ORB descriptor properties: rotation steering, determinism, packing."""
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slideo_tpu.ops import orb
+
+
+def _patch_with_texture(rng):
+    return (rng.rand(orb.PATCH, orb.PATCH) * 255).astype(np.float32)
+
+
+def test_pattern_deterministic_and_bounded():
+    p1 = orb.brief_pattern(256, 0x51DE0)
+    p2 = orb.brief_pattern(256, 0x51DE0)
+    assert (p1 == p2).all()
+    assert np.linalg.norm(p1, axis=-1).max() <= orb.DESC_RADIUS + 1e-4
+    # different seed -> different pattern
+    assert (orb.brief_pattern(256, 1) != p1).any()
+
+
+def test_extract_patches_center(rng):
+    img = (rng.rand(200, 300) * 255).astype(np.float32)
+    ys = jnp.asarray([50, 100], jnp.int32)
+    xs = jnp.asarray([60, 200], jnp.int32)
+    patches = np.asarray(orb.extract_patches(jnp.asarray(img), ys, xs))
+    assert patches.shape == (2, orb.PATCH, orb.PATCH)
+    assert patches[0, orb.HALF_PATCH, orb.HALF_PATCH] == img[50, 60]
+    assert (patches[1] == img[100 - 31 : 100 + 32, 200 - 31 : 200 + 32]).all()
+
+
+def test_orientation_points_to_centroid():
+    # bright blob to the right of center -> angle ~ 0
+    patch = np.zeros((orb.PATCH, orb.PATCH), np.float32)
+    patch[orb.HALF_PATCH - 2 : orb.HALF_PATCH + 3, orb.HALF_PATCH + 10 :] = 255
+    c, s = orb.orientations(jnp.asarray(patch[None]))
+    assert float(c[0]) > 0.95 and abs(float(s[0])) < 0.3
+    # blob below center (positive y) -> angle ~ +90deg
+    patch2 = np.zeros_like(patch)
+    patch2[orb.HALF_PATCH + 10 :, orb.HALF_PATCH - 2 : orb.HALF_PATCH + 3] = 255
+    c2, s2 = orb.orientations(jnp.asarray(patch2[None]))
+    assert float(s2[0]) > 0.95
+
+
+def test_descriptor_rotation_invariance(rng):
+    """Steering by each patch's *estimated* orientation makes descriptors of
+    rotated content agree — the property the matcher relies on."""
+    img = cv2.GaussianBlur((rng.rand(240, 240) * 255).astype(np.float32), (0, 0), 3)
+    center = (120.0, 120.0)
+
+    def steered_desc(patch):
+        p = jnp.asarray(patch[None])
+        c, s = orb.orientations(p)
+        return np.asarray(orb.descriptors(p, c, s))[0]
+
+    patch0 = img[120 - 31 : 120 + 32, 120 - 31 : 120 + 32]
+    d0 = steered_desc(patch0)
+    for angle in (30.0, -50.0, 120.0):
+        rot = cv2.getRotationMatrix2D(center, angle, 1.0)
+        img_rot = cv2.warpAffine(img, rot, (240, 240))
+        patch1 = img_rot[120 - 31 : 120 + 32, 120 - 31 : 120 + 32]
+        d1 = steered_desc(patch1)
+        agreement = (d0 == d1).mean()
+        assert agreement > 0.85, (angle, agreement)
+
+
+def test_pack_descriptor_bits():
+    d = -np.ones((2, 256), np.int8)
+    d[0, 0] = 1   # bit 0 of word 0
+    d[1, 255] = 1  # bit 31 of word 7
+    packed = np.asarray(orb.pack_descriptor_bits(jnp.asarray(d)))
+    assert packed.shape == (2, 8)
+    assert packed[0, 0] == 1 and packed[0, 1:].sum() == 0
+    assert packed[1, 7] == 1 << 31 and packed[1, :7].sum() == 0
