@@ -77,16 +77,36 @@ def match_frame(
     slide_hw: static full-resolution page size backing ``index.smalls``.
     """
     n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
-    mcfg = cfg.match
-
     feats = extract_features(frame, cfg.orb)
     knn_res = hamming.knn_frame(
-        feats.desc, feats.score, index.desc_index, n_slides, k_per_slide, mcfg
+        feats.desc, feats.score, index.desc_index, n_slides, k_per_slide, cfg.match
     )
+    return cascade_from_knn(
+        frame, frame_seed, feats, knn_res, index.pts, index.smalls, slide_hw, cfg
+    )
+
+
+def cascade_from_knn(
+    frame: jax.Array,
+    frame_seed: jax.Array,
+    feats: Features,
+    knn_res,
+    slide_pts: jax.Array,
+    slide_smalls: jax.Array,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+) -> FrameMatch:
+    """The post-kNN verification cascade (ratio filter -> ... -> winner).
+
+    Split out so sharded kNN variants (index-parallel, parallel/mesh.py) can
+    reuse the identical cascade.
+    """
+    n_slides = slide_pts.shape[0]
+    mcfg = cfg.match
     cands = select.select_candidates(knn_res, feats.valid, n_slides, mcfg)
 
     # Gather matched point pairs: slide keypoints -> frame keypoints.
-    cand_pts = jnp.take(index.pts, cands.slide_ids, axis=0)        # [C, K, 2]
+    cand_pts = jnp.take(slide_pts, cands.slide_ids, axis=0)        # [C, K, 2]
     src = jnp.take_along_axis(cand_pts, cands.train_ids[..., None], axis=1)
     dst = jnp.take(feats.pts, cands.query_ids, axis=0)             # [C, M, 2]
     valid = cands.match_valid & cands.cand_valid[:, None]
@@ -107,7 +127,7 @@ def match_frame(
     top_t = ransac.Similarity(*(jnp.take(f, top_idx) for f in rr.transform))
     top_slides = jnp.take(cands.slide_ids, top_idx)
 
-    sims = verify.warp_similarity(frame, top_t, index.smalls, top_slides, slide_hw)
+    sims = verify.warp_similarity(frame, top_t, slide_smalls, top_slides, slide_hw)
     sims = jnp.where(retain, sims, -jnp.inf)
 
     # Final pick (lib.rs:370-383): max similarity, must exceed 0.5.

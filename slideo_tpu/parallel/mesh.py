@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import SlideoConfig
 from ..models import orb_matcher
 from ..ops import hamming
+from ..ops.features import extract_features
 
 __all__ = ["make_mesh", "shard_index", "match_frames_sharded", "knn_index_sharded"]
 
@@ -84,6 +85,90 @@ def shard_index(
         ),
         pts=jax.device_put(index.pts, rep),
         smalls=jax.device_put(index.smalls, rep),
+    )
+
+
+def match_frames_mesh(
+    frames: jax.Array,
+    frame_seeds: jax.Array,
+    index: orb_matcher.SlideIndex,
+    *,
+    mesh: Mesh,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+) -> orb_matcher.FrameMatch:
+    """Full match step over a 2-D ("frames", "index") mesh.
+
+    Frames are data-parallel over "frames"; the descriptor index rows are
+    sharded over "index". Each device extracts features for its local
+    frames, computes top-k against its local index shard, and the exact
+    global top-k is recovered with one all_gather of [Q, k] tuples over the
+    "index" axis (the heavy descriptor arrays never move). The verification
+    cascade then runs replicated within each frame row.
+    """
+    k = cfg.match.knn_k
+    chunk = cfg.match.knn_chunk
+    idp = mesh.shape["index"]
+
+    def body(frames_l, seeds_l, desc_l, sid_l, tid_l, val_l, pts, smalls):
+        d_bits = desc_l.shape[1]
+
+        def match_one(args):
+            frame, seed = args
+            feats = extract_features(frame, cfg.orb)
+            scores, rows = hamming._chunked_topk_scores(
+                feats.desc, desc_l, val_l, k, chunk
+            )
+            slide = jnp.take(sid_l, rows)
+            train = jnp.take(tid_l, rows)
+            all_s = jax.lax.all_gather(scores, "index", axis=1)  # [Q, idp, k]
+            all_slide = jax.lax.all_gather(slide, "index", axis=1)
+            all_train = jax.lax.all_gather(train, "index", axis=1)
+            qn = feats.desc.shape[0]
+            best, sel = jax.lax.top_k(all_s.reshape(qn, idp * k), k)
+            take = lambda a: jnp.take_along_axis(
+                a.reshape(qn, idp * k), sel, axis=1
+            )
+            knn_res = hamming.KnnResult(
+                dist=(d_bits - best).astype(jnp.float32) * 0.5,
+                slide=take(all_slide),
+                train=take(all_train),
+                valid=best > hamming._NEG // 2,
+            )
+            return orb_matcher.cascade_from_knn(
+                frame, seed, feats, knn_res, pts, smalls, slide_hw, cfg
+            )
+
+        return jax.lax.map(match_one, (frames_l, seeds_l))
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(
+            P("frames", None, None),
+            P("frames"),
+            P("index", None),
+            P("index"),
+            P("index"),
+            P("index"),
+            P(),
+            P(),
+        ),
+        out_specs=orb_matcher.FrameMatch(
+            slide=P("frames"), similarity=P("frames"), rating=P("frames")
+        ),
+        check_vma=False,
+    )
+    di = index.desc_index
+    return fn(
+        frames,
+        frame_seeds,
+        di.desc,
+        di.slide_ids,
+        di.train_ids,
+        di.valid,
+        index.pts,
+        index.smalls,
     )
 
 

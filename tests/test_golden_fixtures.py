@@ -1,0 +1,67 @@
+"""Golden test on the reference's real fixtures (data/matchings/test1).
+
+The reference repo bundles real lecture frame/slide pairs used by its own
+prototype (crates/matching-rustcv/main.rs.txt:152-153): 1-frame shows
+1-slide, 3-frame shows 3-slide, and 2-frame's slide is absent from the set.
+The fidelity bar (BASELINE.md) is identical frame->page assignments.
+
+Run at half resolution with a reduced-but-real config to keep CPU time
+bounded; the full-resolution default-config pass is exercised by bench/TPU
+runs.
+"""
+
+import dataclasses
+from pathlib import Path
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slideo_tpu.config import DEFAULT_CONFIG
+from slideo_tpu.models import orb_matcher
+
+FIXTURES = Path("/root/reference/data/matchings/test1")
+
+pytestmark = pytest.mark.skipif(
+    not FIXTURES.exists(), reason="reference fixtures not available"
+)
+
+
+def _load(name: str, scale: float = 0.5) -> np.ndarray:
+    img = cv2.imread(str(FIXTURES / f"{name}.png"), cv2.IMREAD_GRAYSCALE)
+    img = cv2.resize(img, None, fx=scale, fy=scale, interpolation=cv2.INTER_AREA)
+    return img.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    orb = dataclasses.replace(
+        DEFAULT_CONFIG.orb, n_features=1000, max_keypoints=1024, n_levels=6
+    )
+    return dataclasses.replace(DEFAULT_CONFIG, orb=orb)
+
+
+def test_reference_fixture_assignments(cfg):
+    slides = np.stack([_load("1-slide"), _load("3-slide")])
+    index = jax.jit(lambda s: orb_matcher.build_slide_index(s, cfg))(
+        jnp.asarray(slides)
+    )
+    mf = jax.jit(
+        lambda f, s, ix: orb_matcher.match_frame(f, s, ix, slides.shape[1:], cfg)
+    )
+
+    expected = {"1-frame": 0, "2-frame": -1, "3-frame": 1}
+    results = {}
+    for i, name in enumerate(expected):
+        res = mf(jnp.asarray(_load(name)), jnp.int32(i), index)
+        results[name] = (int(res.slide), float(res.similarity), float(res.rating))
+
+    for name, want in expected.items():
+        got, sim, rating = results[name]
+        assert got == want, f"{name}: expected slide {want}, got {results[name]}"
+        if want >= 0:
+            # true matches clear the reference thresholds with margin
+            assert rating > 100, results[name]
+            assert sim > 0.6, results[name]

@@ -1,0 +1,122 @@
+"""End-to-end pipeline test: synthetic deck + video -> timeline in SQLite.
+
+This is the reference's whole `slideo a.pdf b.mp4` flow (SURVEY.md §3.1) on
+tiny synthetic media — no poppler or large fixtures needed (pages are
+injected through the cache's own pre-extracted-pages path).
+"""
+
+import dataclasses
+import hashlib
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+
+from slideo_tpu.config import DEFAULT_CONFIG
+from slideo_tpu.app.db import Db, PdfExtractedPagesDir
+from slideo_tpu.app import pipeline
+
+
+@pytest.fixture(scope="module")
+def small_cfg():
+    orb = dataclasses.replace(
+        DEFAULT_CONFIG.orb,
+        n_features=256, max_keypoints=256, n_levels=3, edge_threshold=32,
+    )
+    match = dataclasses.replace(
+        DEFAULT_CONFIG.match,
+        ransac_iters=256, max_matches_per_slide=128, min_rating=20.0,
+        knn_chunk=2048,
+    )
+    video = dataclasses.replace(DEFAULT_CONFIG.video, batch_size=4)
+    return dataclasses.replace(DEFAULT_CONFIG, orb=orb, match=match, video=video)
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("media")
+    rng = np.random.RandomState(7)
+    pages_dir = root / "pages"
+    pages_dir.mkdir()
+    H, W = 240, 320
+    pages = []
+    for p in range(3):
+        img = np.full((H, W), 255, np.uint8)
+        cv2.putText(img, f"Pg {p+1}", (20, 40), cv2.FONT_HERSHEY_SIMPLEX, 1.0, 0, 2)
+        for _ in range(20):
+            y, x = rng.randint(60, H - 30), rng.randint(20, W - 60)
+            cv2.rectangle(
+                img, (x, y), (x + rng.randint(15, 50), y + rng.randint(4, 10)),
+                int(rng.randint(0, 120)), -1,
+            )
+        cv2.imwrite(str(pages_dir / f"p-{p+1}.png"), img)
+        pages.append(img)
+
+    pdf_path = root / "deck.pdf"
+    pdf_path.write_bytes(b"%PDF fixture" + rng.bytes(32))
+    pdf_hash = hashlib.sha256(pdf_path.read_bytes()).hexdigest()
+
+    vid_path = root / "talk.avi"
+    vw = cv2.VideoWriter(
+        str(vid_path), cv2.VideoWriter_fourcc(*"MJPG"), 5.0, (W, H)
+    )
+    # pages 1 then 3, 10s each at 5fps; interval 5s -> 10 sampled frames
+    for p in (0, 2):
+        base = cv2.cvtColor(pages[p], cv2.COLOR_GRAY2BGR)
+        for _ in range(50):
+            vw.write(base)
+    vw.release()
+    video_hash = hashlib.sha256(vid_path.read_bytes()).hexdigest()
+    return dict(
+        root=root, pages_dir=pages_dir, pdf_path=pdf_path, pdf_hash=pdf_hash,
+        vid_path=vid_path, video_hash=video_hash,
+    )
+
+
+def test_sync_pipeline(fixture_dir, small_cfg, tmp_path):
+    db = Db(tmp_path / "slideo.db")
+    f = fixture_dir
+    db.set_pdf_extracted_pages_dir(
+        PdfExtractedPagesDir(f["pdf_hash"], f["pages_dir"], True)
+    )
+    pages = pipeline.pdfs_to_images([(f["pdf_path"], f["pdf_hash"])], db)
+    assert [p.page_nr for p in pages] == [1, 2, 3]
+
+    db.create_or_reset_video(f["video_hash"], [f["pdf_hash"]])
+    pipeline.sync(pages, [(f["vid_path"], f["video_hash"])], db, small_cfg)
+
+    rows = db.conn.execute(
+        "SELECT video_ms, pdf_hash, page FROM videos_mapping ORDER BY video_ms"
+    ).fetchall()
+    # Expect: page 0 at t=0, page 2 at the segment switch (10s +-1 sample),
+    # trailing sentinel (pdf_hash None).
+    assert rows[0][0] == 0 and rows[0][2] == 0, rows
+    switches = [r for r in rows if r[1] == f["pdf_hash"] and r[2] == 2]
+    assert len(switches) == 1, rows
+    assert abs(switches[0][0] - 10_000) <= 5_000, rows
+    assert rows[-1][1] is None, rows
+    assert db.find_mapping_info(f["video_hash"]).finished
+
+    # viewer JSON: both pages present with positive durations
+    matchings = db.get_pdf_video_matchings(f["pdf_hash"])
+    assert {m["page_idx"] for m in matchings} == {0, 2}
+    assert all(m["duration_ms"] > 0 for m in matchings)
+
+
+def test_video_info_and_sampling(fixture_dir):
+    from slideo_tpu.io.video import open_video_info, sampled_frames
+
+    info = open_video_info(fixture_dir["vid_path"])
+    assert info.total_frames == 100 and abs(info.fps - 5.0) < 0.1
+    assert abs(info.total_time_s - 20.0) < 0.1
+
+    frames = list(sampled_frames(fixture_dir["vid_path"], 5.0, mode="grab"))
+    # one frame per 5s: indices 0, 25, 50, 75 (stride floor(5*5)=25)
+    assert [f.frame_idx for f in frames] == [0, 25, 50, 75]
+    assert frames[0].gray.shape == (240, 320)
+
+    seek = list(sampled_frames(fixture_dir["vid_path"], 5.0, mode="seek", workers=2))
+    assert [f.frame_idx for f in seek] == [0, 25, 50, 75]
+    # decoded content should agree between modes
+    assert np.abs(seek[2].gray - frames[2].gray).mean() < 2.0
