@@ -33,6 +33,7 @@ from ..config import SlideoConfig
 from ..models import orb_matcher
 from ..ops import image as image_ops
 from .db import Db, PdfExtractedPagesDir
+from ..utils.trace import StageTracer
 from .hashing import get_temp_path_key
 from .progress import ProgressReporter, null_reporter
 from ..io import pdf as pdf_io
@@ -164,8 +165,10 @@ class MatchingEngine:
         self,
         video_path: Path,
         reporter: ProgressReporter = null_reporter,
+        tracer: StageTracer | None = None,
     ) -> list[Matching]:
         cfg = self.cfg
+        tracer = tracer or StageTracer(enabled=False)
         info = open_video_info(video_path)
         total_ms = int(info.total_time_s * 1000)
         frames_total = info.frames_to_process(cfg.video.interval_s)
@@ -190,8 +193,9 @@ class MatchingEngine:
                 seeds = np.array(
                     [c.frame_idx for c in chunk] + [0] * (bs - n), np.int32
                 )
-                res = self._match(jnp.asarray(frames_np), jnp.asarray(seeds))
-                slides = np.asarray(res.slide)
+                with tracer.stage("match"):
+                    res = self._match(jnp.asarray(frames_np), jnp.asarray(seeds))
+                    slides = np.asarray(res.slide)
                 for i, sf in enumerate(chunk):
                     page = self.pages[slides[i]] if slides[i] >= 0 else None
                     results.append(
@@ -216,10 +220,11 @@ class MatchingEngine:
                 prev = jnp.zeros(small_hw, jnp.float32)
             else:
                 prev = prev_small
-            smalls, changed = self._dedup(
-                jnp.asarray(frames_np), prev, jnp.asarray(has_prev)
-            )
-            changed_np = np.asarray(changed)
+            with tracer.stage("dedup"):
+                smalls, changed = self._dedup(
+                    jnp.asarray(frames_np), prev, jnp.asarray(has_prev)
+                )
+                changed_np = np.asarray(changed)
             prev_small = smalls[-1]
             for i, b in enumerate(batch):
                 if changed_np[i]:
@@ -229,12 +234,17 @@ class MatchingEngine:
             batch = []
             flush_matches()
 
-        for sf in sampled_frames(
+        frame_iter = sampled_frames(
             video_path,
             cfg.video.interval_s,
             mode=cfg.video.decode_mode,
             workers=cfg.video.decode_workers,
-        ):
+        )
+        while True:
+            with tracer.stage("decode"):
+                sf = next(frame_iter, None)
+            if sf is None:
+                break
             batch.append(sf)
             flush_dedup()
         flush_dedup(force=True)

@@ -25,7 +25,7 @@ from ..config import SlideoConfig
 from ..ops import hamming, image, ransac, select, verify
 from ..ops.features import Features, extract_features
 
-__all__ = ["SlideIndex", "FrameMatch", "build_slide_index", "match_frame", "match_frames"]
+__all__ = ["SlideIndex", "FrameMatch", "build_slide_index", "match_frame", "match_frames", "cascade_from_table"]
 
 
 class SlideIndex(NamedTuple):
@@ -78,32 +78,31 @@ def match_frame(
     """
     n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
     feats = extract_features(frame, cfg.orb)
-    knn_res = hamming.knn_frame(
+    table = hamming.match_table_frame(
         feats.desc, feats.score, index.desc_index, n_slides, k_per_slide, cfg.match
     )
-    return cascade_from_knn(
-        frame, frame_seed, feats, knn_res, index.pts, index.smalls, slide_hw, cfg
+    return cascade_from_table(
+        frame, frame_seed, feats, table, index.pts, index.smalls, slide_hw, cfg
     )
 
 
-def cascade_from_knn(
+def cascade_from_table(
     frame: jax.Array,
     frame_seed: jax.Array,
     feats: Features,
-    knn_res,
+    table,
     slide_pts: jax.Array,
     slide_smalls: jax.Array,
     slide_hw: tuple[int, int],
     cfg: SlideoConfig,
 ) -> FrameMatch:
-    """The post-kNN verification cascade (ratio filter -> ... -> winner).
+    """The post-matching verification cascade (ratio filter -> ... -> winner).
 
-    Split out so sharded kNN variants (index-parallel, parallel/mesh.py) can
-    reuse the identical cascade.
+    Takes a hamming.MatchTable; split out so sharded matching variants
+    (index-parallel, parallel/mesh.py) reuse the identical cascade.
     """
-    n_slides = slide_pts.shape[0]
     mcfg = cfg.match
-    cands = select.select_candidates(knn_res, feats.valid, n_slides, mcfg)
+    cands = select.select_candidates_table(table, feats.valid, mcfg)
 
     # Gather matched point pairs: slide keypoints -> frame keypoints.
     cand_pts = jnp.take(slide_pts, cands.slide_ids, axis=0)        # [C, K, 2]

@@ -30,7 +30,8 @@ from ..config import MatchConfig
 
 __all__ = ["DescriptorIndex", "build_index", "knn", "knn_frame"]
 
-_NEG = jnp.int32(-(2**30))
+# Plain int (NOT a jnp scalar): module import must not touch any backend.
+_NEG = -(2**30)
 
 
 class DescriptorIndex(NamedTuple):
@@ -128,6 +129,119 @@ class KnnResult(NamedTuple):
     valid: jax.Array
 
 
+class MatchTable(NamedTuple):
+    """Per-(query, slide) best match — the sort-free kNN representation.
+
+    For every frame descriptor q and slide s: the minimum hamming distance
+    over all of s's descriptors and the arg-min descriptor slot. This is
+    sufficient for the reference's downstream pipeline (ratio filter, group
+    by slide, count, RANSAC pairs: lib.rs:268-312) and replaces sorted
+    top-k — which lowers to full row sorts on TPU — with pure max/argmax
+    reductions that run at VPU rate.
+
+    dist:  [Q, S] float32 best hamming distance per slide
+    train: [Q, S] int32 arg-best keypoint slot within the slide
+    slide_ids: [S] int32 global slide id of each column
+    valid: [Q, S] bool (slide has >=1 valid descriptor)
+    """
+
+    dist: jax.Array
+    train: jax.Array
+    slide_ids: jax.Array
+    valid: jax.Array
+
+
+def match_table(
+    query: jax.Array,
+    index: DescriptorIndex,
+    n_slides: int,
+    k_per_slide: int,
+    chunk_slides: int = 8,
+    slide_ids: jax.Array | None = None,
+) -> MatchTable:
+    """Compute the [Q, S] best-match table by streaming slide chunks.
+
+    Each scan step is one MXU matmul [Q, D] x [D, c*K] followed by a
+    max/argmax over the K axis; the [Q, c*K] score block never leaves VMEM
+    scale. ~2*Q*D*S*K flops total, no sorts anywhere.
+    """
+    q, d_bits = query.shape
+    chunk_slides = max(1, min(chunk_slides, n_slides))
+    pad_s = (-n_slides) % chunk_slides
+    desc = index.desc.reshape(n_slides, k_per_slide, d_bits)
+    valid = index.valid.reshape(n_slides, k_per_slide)
+    if pad_s:
+        desc = jnp.pad(desc, ((0, pad_s), (0, 0), (0, 0)))
+        valid = jnp.pad(valid, ((0, pad_s), (0, 0)))
+    n_chunks = desc.shape[0] // chunk_slides
+    desc_c = desc.reshape(n_chunks, chunk_slides * k_per_slide, d_bits)
+    valid_c = valid.reshape(n_chunks, chunk_slides, k_per_slide)
+
+    # bf16 inputs with f32 accumulation: exact for +-1 dots (all partial sums
+    # are integers within +-256, representable in bf16/f32) and runs the MXU
+    # at twice the f32 rate.
+    query_bf = query.astype(jnp.bfloat16)
+
+    def step(_, inputs):
+        dchunk, vchunk = inputs
+        scores = jax.lax.dot_general(
+            query_bf,
+            dchunk.astype(jnp.bfloat16),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(q, chunk_slides, k_per_slide)
+        scores = jnp.where(vchunk[None], scores, jnp.float32(_NEG))
+        best = jnp.max(scores, axis=-1)          # [Q, c]
+        arg = jnp.argmax(scores, axis=-1)        # [Q, c]
+        return None, (best, arg, jnp.any(vchunk, axis=-1))
+
+    _, (best, arg, svalid) = jax.lax.scan(step, None, (desc_c, valid_c))
+    # [n_chunks, Q, c] -> [Q, S]
+    best = jnp.moveaxis(best, 0, 1).reshape(q, -1)[:, :n_slides]
+    arg = jnp.moveaxis(arg, 0, 1).reshape(q, -1)[:, :n_slides].astype(jnp.int32)
+    svalid = svalid.reshape(-1)[:n_slides]
+    dist = (d_bits - best).astype(jnp.float32) * 0.5
+    if slide_ids is None:
+        slide_ids = jnp.arange(n_slides, dtype=jnp.int32)
+    return MatchTable(
+        dist=dist,
+        train=arg,
+        slide_ids=slide_ids,
+        valid=jnp.broadcast_to(svalid[None, :], (q, n_slides)),
+    )
+
+
+def match_table_frame(
+    query: jax.Array,
+    query_score: jax.Array,
+    index: DescriptorIndex,
+    n_slides: int,
+    k_per_slide: int,
+    cfg: MatchConfig,
+) -> MatchTable:
+    """Frame-level match table with optional large-deck screening.
+
+    Decks up to cfg.screen_above_slides get the exact table over every
+    slide. Above that, stage-1 prefix voting (the FLANN-LSH analogue)
+    selects cfg.screen_slides candidate slides and the exact table is
+    computed only for those columns (slide_ids maps columns back).
+    """
+    if n_slides <= cfg.screen_above_slides:
+        return match_table(query, index, n_slides, k_per_slide)
+
+    cand = _screen_slides(query, query_score, index, n_slides, cfg)
+    rows = (cand[:, None] * k_per_slide + jnp.arange(k_per_slide)[None, :]).reshape(-1)
+    sub = DescriptorIndex(
+        desc=jnp.take(index.desc, rows, axis=0),
+        slide_ids=jnp.take(index.slide_ids, rows),
+        train_ids=jnp.take(index.train_ids, rows),
+        valid=jnp.take(index.valid, rows),
+    )
+    return match_table(
+        query, sub, cand.shape[0], k_per_slide, slide_ids=cand
+    )
+
+
 def knn(query: jax.Array, index: DescriptorIndex, k: int, chunk: int) -> KnnResult:
     """Exact Hamming kNN of [Q, D] +-1 queries against the index."""
     d_bits = query.shape[1]
@@ -152,18 +266,21 @@ def _screen_slides(
     cfg.screen_bits-bit prefixes of the whole index and votes per slide.
     This is the role FLANN's LSH tables play in the reference (approximate
     candidate generation); the final ranking still uses full descriptors.
+    Uses the sort-free match-table reduction (no top_k over the index).
     """
     _, top_q = jax.lax.top_k(query_score, cfg.screen_queries)
     q_sub = jnp.take(query, top_q, axis=0)[:, : cfg.screen_bits]
-    prefix = index.desc[:, : cfg.screen_bits]
-    scores, gids = _chunked_topk_scores(
-        q_sub, prefix, index.valid, 8, cfg.knn_chunk
+    k_per_slide = index.desc.shape[0] // n_slides
+    prefix_index = DescriptorIndex(
+        desc=index.desc[:, : cfg.screen_bits],
+        slide_ids=index.slide_ids,
+        train_ids=index.train_ids,
+        valid=index.valid,
     )
-    slide = jnp.take(index.slide_ids, gids)
-    votes_w = jnp.where(scores > _NEG // 2, 1.0, 0.0)
-    votes = jax.ops.segment_sum(
-        votes_w.reshape(-1), slide.reshape(-1), num_segments=n_slides
-    )
+    table = match_table(q_sub, prefix_index, n_slides, k_per_slide, chunk_slides=16)
+    best = jnp.min(jnp.where(table.valid, table.dist, jnp.inf), axis=1, keepdims=True)
+    keep = table.valid & (table.dist <= best * 1.05 + 1.0)
+    votes = jnp.sum(keep, axis=0).astype(jnp.float32)
     _, top_slides = jax.lax.top_k(votes, min(cfg.screen_slides, n_slides))
     return top_slides.astype(jnp.int32)
 

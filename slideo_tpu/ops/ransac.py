@@ -28,7 +28,7 @@ from ..config import MatchConfig
 
 __all__ = ["Similarity", "ransac_similarity", "apply_similarity"]
 
-_HYP_CHUNK = 128  # hypotheses scored per scan step (memory knob)
+_HYP_CHUNK = 500  # hypotheses scored per scan step (memory knob)
 
 
 class Similarity(NamedTuple):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..config import MatchConfig
 from .hamming import KnnResult
 
-__all__ = ["CandidateMatches", "select_candidates"]
+__all__ = ["CandidateMatches", "select_candidates", "select_candidates_table"]
 
 
 class CandidateMatches(NamedTuple):
@@ -38,6 +38,59 @@ class CandidateMatches(NamedTuple):
     train_ids: jax.Array
     match_valid: jax.Array
     counts: jax.Array
+
+
+def select_candidates_table(
+    table,
+    query_valid: jax.Array,
+    cfg: MatchConfig,
+) -> CandidateMatches:
+    """Candidate selection from a best-match table (sort-free fast path).
+
+    table: hamming.MatchTable with [Q, S] dist/train, [S] slide_ids.
+    Semantics follow lib.rs:268-295: per query, the nearest neighbour over
+    the whole index defines best_dist; matches with dist < best*1.05 are
+    kept (including the quirk that best_dist==0 keeps nothing), capped at
+    the cfg.knn_k strongest slides per query (the reference's kNN fan-out);
+    slides are ranked by kept-match count and the top cfg.top_slides become
+    candidates with their matches compacted by ascending distance.
+    """
+    q, s = table.dist.shape
+    big = jnp.float32(1e6)
+    valid = table.valid & query_valid[:, None]
+    dist = jnp.where(valid, table.dist, big)
+    best = jnp.min(dist, axis=1, keepdims=True)
+    keep = valid & (table.dist < best * cfg.ratio)
+
+    # Per-query fan-out cap (reference kNN k=30): keep only the knn_k
+    # nearest kept slides. Only needed when more columns could pass.
+    if s > cfg.knn_k:
+        key = jnp.where(keep, big - table.dist, -big)
+        kth = jax.lax.top_k(key, cfg.knn_k)[0][:, -1:]
+        keep &= key >= jnp.maximum(kth, 0.0)
+
+    counts = jnp.sum(keep, axis=0).astype(jnp.float32)  # [S]
+    c = min(cfg.top_slides, s)
+    top_counts, cand_cols = jax.lax.top_k(counts, c)
+    cand_valid = top_counts > 0
+
+    m = min(cfg.max_matches_per_slide, q)
+
+    def compact(col):
+        mine = keep[:, col]
+        key = jnp.where(mine, big - table.dist[:, col], -big)
+        topv, qidx = jax.lax.top_k(key, m)
+        return qidx, jnp.take(table.train[:, col], qidx), topv > 0
+
+    query_ids, train_ids, match_valid = jax.vmap(compact)(cand_cols)
+    return CandidateMatches(
+        slide_ids=jnp.take(table.slide_ids, cand_cols),
+        cand_valid=cand_valid,
+        query_ids=query_ids,
+        train_ids=train_ids,
+        match_valid=match_valid,
+        counts=top_counts,
+    )
 
 
 def select_candidates(

@@ -5,11 +5,12 @@ Device-side equivalent of the reference's final check
 with the inverse of the RANSAC transform, downscale to the comparison
 thumbnail, and compute the L2 similarity against the slide's thumbnail.
 
-Design: instead of warping at full slide resolution and then area-downscaling
-(two passes over megapixels), each thumbnail pixel directly samples the frame
-at its mapped position — from a pre-blurred copy of the frame whose Gaussian
-sigma matches the downscale factor, approximating the INTER_AREA prefilter.
-This turns the whole verification into ~120k bilinear samples per candidate.
+Design: the reference warps the full-resolution frame and then
+INTER_AREA-downscales (two passes over megapixels). Here each slide-thumbnail
+pixel directly samples the *area-downscaled frame thumbnail* — the thumbnail
+is the INTER_AREA prefilter, its ~0.5 MB source lives in VMEM, and the whole
+verification is ~120k bilinear samples per candidate instead of megapixel
+warps + gathers from a 2 MP HBM-resident source.
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .image import compute_similarity, gaussian_blur
+from .image import compute_similarity, small_size, to_small_image
 from .ransac import Similarity
 
 __all__ = ["warp_similarity"]
@@ -54,6 +55,7 @@ def warp_similarity(
     slide_smalls: jax.Array,
     cand_slide_ids: jax.Array,
     slide_hw: tuple[int, int],
+    max_area: int = 300 * 400,
 ) -> jax.Array:
     """Similarity of the warped frame vs each candidate slide thumbnail.
 
@@ -69,7 +71,14 @@ def warp_similarity(
     """
     hs, ws = slide_smalls.shape[-2], slide_smalls.shape[-1]
     full_h, full_w = slide_hw
-    # Thumbnail pixel (i, j) center in full slide coords (area-resize mapping).
+    fh, fw = frame.shape
+    fsh, fsw = small_size(fh, fw, max_area)
+    frame_small = to_small_image(frame, max_area)
+    # frame coords -> frame-thumbnail coords (area-resize pixel-center map)
+    inv_fx = fsw / fw
+    inv_fy = fsh / fh
+
+    # Slide-thumbnail pixel (i, j) center in full slide coords.
     sy = full_h / hs
     sx = full_w / ws
     jj = (jnp.arange(ws, dtype=jnp.float32) + 0.5) * sx - 0.5
@@ -77,14 +86,12 @@ def warp_similarity(
     gx = jnp.broadcast_to(jj[None, :], (hs, ws))
     gy = jnp.broadcast_to(ii[:, None], (hs, ws))
 
-    # Prefilter the frame to approximate INTER_AREA at the thumbnail scale.
-    sigma = max(0.5 * (sy + sx) / 4.0, 0.8)
-    frame_lp = gaussian_blur(frame, ksize=7, sigma=sigma)
-
     def one(t: Similarity, slide_id):
         fx = t.a * gx - t.b * gy + t.tx
         fy = t.b * gx + t.a * gy + t.ty
-        warped = _bilinear_image(frame_lp, fx.reshape(-1), fy.reshape(-1))
+        sx_ = (fx + 0.5) * inv_fx - 0.5
+        sy_ = (fy + 0.5) * inv_fy - 0.5
+        warped = _bilinear_image(frame_small, sx_.reshape(-1), sy_.reshape(-1))
         warped = warped.reshape(hs, ws)
         small = slide_smalls[slide_id]
         return compute_similarity(warped, small, channels=1)

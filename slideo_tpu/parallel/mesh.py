@@ -106,37 +106,32 @@ def match_frames_mesh(
     "index" axis (the heavy descriptor arrays never move). The verification
     cascade then runs replicated within each frame row.
     """
-    k = cfg.match.knn_k
-    chunk = cfg.match.knn_chunk
-    idp = mesh.shape["index"]
-
     def body(frames_l, seeds_l, desc_l, sid_l, tid_l, val_l, pts, smalls):
-        d_bits = desc_l.shape[1]
+        k_per_slide = pts.shape[1]
+        s_local = desc_l.shape[0] // k_per_slide
+        local_index = hamming.DescriptorIndex(desc_l, sid_l, tid_l, val_l)
+        local_slide_ids = sid_l[::k_per_slide]
 
         def match_one(args):
             frame, seed = args
             feats = extract_features(frame, cfg.orb)
-            scores, rows = hamming._chunked_topk_scores(
-                feats.desc, desc_l, val_l, k, chunk
+            # Local best-match table over this device's slide columns, then
+            # one all_gather of the tiny [Q, S_local] tables recovers the
+            # exact global table (descriptors never cross ICI).
+            t = hamming.match_table(
+                feats.desc, local_index, s_local, k_per_slide,
+                slide_ids=local_slide_ids,
             )
-            slide = jnp.take(sid_l, rows)
-            train = jnp.take(tid_l, rows)
-            all_s = jax.lax.all_gather(scores, "index", axis=1)  # [Q, idp, k]
-            all_slide = jax.lax.all_gather(slide, "index", axis=1)
-            all_train = jax.lax.all_gather(train, "index", axis=1)
             qn = feats.desc.shape[0]
-            best, sel = jax.lax.top_k(all_s.reshape(qn, idp * k), k)
-            take = lambda a: jnp.take_along_axis(
-                a.reshape(qn, idp * k), sel, axis=1
+            cat = lambda a: jax.lax.all_gather(a, "index", axis=1).reshape(qn, -1)
+            table = hamming.MatchTable(
+                dist=cat(t.dist),
+                train=cat(t.train),
+                slide_ids=jax.lax.all_gather(t.slide_ids, "index", axis=0).reshape(-1),
+                valid=cat(t.valid),
             )
-            knn_res = hamming.KnnResult(
-                dist=(d_bits - best).astype(jnp.float32) * 0.5,
-                slide=take(all_slide),
-                train=take(all_train),
-                valid=best > hamming._NEG // 2,
-            )
-            return orb_matcher.cascade_from_knn(
-                frame, seed, feats, knn_res, pts, smalls, slide_hw, cfg
+            return orb_matcher.cascade_from_table(
+                frame, seed, feats, table, pts, smalls, slide_hw, cfg
             )
 
         return jax.lax.map(match_one, (frames_l, seeds_l))

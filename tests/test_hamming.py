@@ -47,6 +47,55 @@ def test_knn_exact_small(rng):
     assert (dist == expect).all()
 
 
+def test_match_table_against_oracle(rng):
+    """The sort-free [Q, S] best-match table equals a numpy brute force."""
+    q = _random_desc(rng, 48)
+    s, k = 6, 40
+    d = _random_desc(rng, s * k).reshape(s, k, 256)
+    valid = rng.rand(s, k) > 0.25
+    valid[3] = False  # one slide entirely invalid
+    index = hamming.build_index(jnp.asarray(d), jnp.asarray(valid))
+    table = hamming.match_table(jnp.asarray(q), index, s, k, chunk_slides=4)
+
+    ham = (256 - q.astype(np.int32) @ d.reshape(-1, 256).T.astype(np.int32)) // 2
+    ham = ham.reshape(48, s, k)
+    ham = np.where(valid[None], ham, 10**9)
+    expect_dist = ham.min(-1)
+    got = np.asarray(table.dist)
+    vmask = np.asarray(table.valid)
+    assert (vmask == valid.any(-1)[None, :].repeat(48, 0)).all()
+    assert (got[vmask] == expect_dist[vmask]).all()
+    # arg-best points at a descriptor achieving the min distance
+    tr = np.asarray(table.train)
+    picked = np.take_along_axis(ham, tr[:, :, None], axis=2)[:, :, 0]
+    assert (picked[vmask] == expect_dist[vmask]).all()
+
+
+def test_match_table_screened_keeps_true_slide(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG.match,
+        screen_above_slides=4, screen_slides=4, screen_queries=32,
+    )
+    s, k = 12, 64
+    d = _random_desc(rng, s * k).reshape(s, k, 256)
+    q = d[7, :40].copy()
+    flips = rng.rand(40, 256) < 0.05
+    q = np.where(flips, -q, q).astype(np.int8)
+    scores = rng.rand(40).astype(np.float32) + 1.0
+    index = hamming.build_index(jnp.asarray(d), jnp.ones((s, k), bool))
+    table = hamming.match_table_frame(
+        jnp.asarray(q), jnp.asarray(scores), index, s, k, cfg
+    )
+    cols = np.asarray(table.slide_ids)
+    assert 7 in cols
+    col7 = int(np.where(cols == 7)[0][0])
+    # slide 7 is the best column for nearly all queries
+    best_col = np.asarray(table.dist).argmin(1)
+    assert (best_col == col7).mean() > 0.9
+
+
 def test_knn_matches_native_oracle(rng):
     if not native.available():
         pytest.skip("native backend unavailable")
