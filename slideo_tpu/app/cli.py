@@ -20,6 +20,7 @@ from .checked_path import CheckedPath, Kind
 from .db import Db
 from .hashing import hash_files
 from .pipeline import pdfs_to_images, sync
+from ..utils.trace import StageTracer
 from .progress import TerminalProgress
 from .web import start_server
 
@@ -48,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="frame sampling interval in seconds (default 5)")
     p.add_argument("--decode-mode", choices=["grab", "seek"], default=None,
                    help="video decode strategy (grab=reference-exact, seek=fast)")
+    p.add_argument("--trace", action="store_true",
+                   help="print per-stage timing after processing")
     return p
 
 
@@ -137,14 +140,18 @@ def main(argv: list[str] | None = None) -> int:
         for v in videos_to_process:
             db.create_or_reset_video(v.hash, sorted(pdf_hashes))
         bar = TerminalProgress()
+        tracer = StageTracer(enabled=args.trace)
         sync(
             pages,
             [(v.path, v.hash) for v in videos_to_process],
             db,
             cfg,
             bar.get_reporter(),
+            tracer,
         )
         bar.finish()
+        if args.trace:
+            print(tracer.summary())
 
     if not args.non_interactive and not args.no_server and len(pdfs) == 1:
         start_server(pdfs[0].hash, db.path, args.port)

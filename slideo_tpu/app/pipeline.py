@@ -269,11 +269,12 @@ def sync(
     db: Db,
     cfg: SlideoConfig,
     reporter: ProgressReporter = null_reporter,
+    tracer: StageTracer | None = None,
 ) -> None:
     """Match every video against the deck and persist matchings."""
     engine = MatchingEngine(cfg, pages)
     for video_path, video_hash in videos:
-        matchings = engine.match_video(video_path, reporter)
+        matchings = engine.match_video(video_path, reporter, tracer)
         rows = [
             (
                 m.video_ms,

@@ -50,17 +50,19 @@ def fast_scores(img: jax.Array, threshold: int) -> jax.Array:
     Returns float32 [H, W]; score > threshold marks a corner. Non-corners get
     score 0. The 3px ring border is zeroed (circle would wrap).
     """
-    x = img.astype(jnp.int16) if img.dtype == jnp.uint8 else img.astype(jnp.float32)
+    x = img.astype(jnp.float32)
     # Shifted copies of the image for the 16 circle offsets.  jnp.roll wraps,
-    # which is fine because the border is masked afterwards.
+    # which is fine because the border is masked afterwards.  Diffs are exact
+    # small integers (pixel values <= 255), so bf16 halves VPU traffic with
+    # no precision loss in the min/max cascade.
     shifted = jnp.stack(
         [jnp.roll(x, (-dy, -dx), axis=(0, 1)) for (dy, dx) in CIRCLE_OFFSETS],
         axis=0,
     )
-    d = (shifted - x[None]).astype(jnp.float32)  # [16, H, W]
+    d = (shifted - x[None]).astype(jnp.bfloat16)  # [16, H, W]
     bright = _window9_reduce(d, jnp.minimum).max(axis=0)   # max_s min_win d
     dark = -_window9_reduce(d, jnp.maximum).min(axis=0)    # max_s min_win -d
-    score = jnp.maximum(bright, dark)
+    score = jnp.maximum(bright, dark).astype(jnp.float32)
     score = jnp.where(score > float(threshold), score, 0.0)
     h, w = img.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -93,7 +95,10 @@ def detect_keypoints(
     inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
     score = jnp.where(inb, score, 0.0)
     flat = score.reshape(-1)
-    top, idx = jax.lax.top_k(flat, k)
+    # approx_max_k: TPU-native partial reduction instead of a 2M-element full
+    # sort; corners missed at 5% recall are interchangeable with the ones
+    # kept (quota allocation is heuristic to begin with).
+    top, idx = jax.lax.approx_max_k(flat, k, recall_target=0.95)
     y = idx // w
     x = idx % w
     valid = top > 0.0
