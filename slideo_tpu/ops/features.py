@@ -54,12 +54,14 @@ def _extract_level(
     score, ys, xs, valid = fast.detect_keypoints(
         img_lvl, cfg.fast_threshold, cfg.edge_threshold, quota
     )
+    # One patch gather per keypoint; orientation on the raw patch, then the
+    # description blur applied patch-locally as banded matmuls (OpenCV blurs
+    # the whole level; the difference never reaches the sampled area).
     raw_patches = orb.extract_patches(img_lvl, ys, xs)
     cos, sin = orb.orientations(raw_patches)
-    blurred = image.gaussian_blur(img_lvl, cfg.blur_ksize, cfg.blur_sigma)
-    blur_patches = orb.extract_patches(blurred, ys, xs)
+    blurred_patches = orb.blur_patches(raw_patches, cfg.blur_ksize, cfg.blur_sigma)
     desc = orb.descriptors(
-        blur_patches, cos, sin, cfg.descriptor_bits, cfg.pattern_seed
+        blurred_patches, cos, sin, cfg.descriptor_bits, cfg.pattern_seed
     )
     desc = jnp.where(valid[:, None], desc, jnp.int8(0))
     pts = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=-1)

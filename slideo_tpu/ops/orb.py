@@ -92,26 +92,35 @@ def orientations(patches: jax.Array) -> tuple[jax.Array, jax.Array]:
     return c, s
 
 
-def _bilinear_patch(patch: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Bilinear sample of one [PATCH, PATCH] patch at patch-centered coords."""
-    fx = x + HALF_PATCH
-    fy = y + HALF_PATCH
-    x0 = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, PATCH - 2)
-    y0 = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, PATCH - 2)
-    ax = fx - x0
-    ay = fy - y0
-    flat = patch.reshape(-1)
-    idx = y0 * PATCH + x0
-    v00 = jnp.take(flat, idx)
-    v01 = jnp.take(flat, idx + 1)
-    v10 = jnp.take(flat, idx + PATCH)
-    v11 = jnp.take(flat, idx + PATCH + 1)
-    return (
-        v00 * (1 - ay) * (1 - ax)
-        + v01 * (1 - ay) * ax
-        + v10 * ay * (1 - ax)
-        + v11 * ay * ax
+def _tent_weights(coords: jax.Array, size: int) -> jax.Array:
+    """Bilinear interpolation weights as a dense tent matrix.
+
+    coords: [..., P] float positions in [0, size-1].
+    Returns [..., P, size] where row p holds max(0, 1 - |coords_p - j|):
+    exactly the two bilinear taps per sample, but expressed densely so that
+    ``weights @ image_axis`` runs on the MXU instead of the gather unit
+    (per-element gathers are pathologically slow on TPU).
+    """
+    grid = jnp.arange(size, dtype=jnp.float32)
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - grid))
+
+
+def sample_patches(patches: jax.Array, xs: jax.Array, ys: jax.Array) -> jax.Array:
+    """Bilinear-sample each patch at its own point set, gather-free.
+
+    patches: [K, P, P]; xs, ys: [K, N] patch-centered coordinates.
+    value_n = sum_jk Ry[n, j] * patch[j, k] * Cx[k, n]
+            = rowsum( (Ry @ patch) * Cx )  — two small MXU contractions.
+    Out-of-patch samples clamp (callers keep points within the patch).
+    """
+    size = patches.shape[-1]
+    ry = _tent_weights(ys + HALF_PATCH, size)  # [K, N, P]
+    cx = _tent_weights(xs + HALF_PATCH, size)  # [K, N, P]
+    rows = jnp.einsum(
+        "knp,kpq->knq", ry, patches, preferred_element_type=jnp.float32
     )
+    return jnp.sum(rows * cx, axis=-1)
 
 
 def descriptors(
@@ -120,24 +129,74 @@ def descriptors(
     sin: jax.Array,
     n_bits: int = 256,
     seed: int = 0x51DE0,
+    kp_chunk: int = 128,
 ) -> jax.Array:
     """Steered binary descriptors as +-1 int8: [K, n_bits].
 
     bit = sign(I(R p_b) - I(R p_a)) with R the keypoint's orientation
     rotation; +1 where the second point is brighter (matching the comparison
-    direction of OpenCV's ``I(A) < I(B)``).
+    direction of OpenCV's ``I(A) < I(B)``). Sampling is the tent-matrix
+    formulation above, scanned in keypoint chunks to bound the [k, N, P]
+    weight transients.
     """
     pat = brief_pattern(n_bits, seed)  # [n, 2, 2] (x, y) — numpy constant
-    px, py = pat[..., 0], pat[..., 1]               # [n, 2]
+    px = pat[..., 0].reshape(-1)       # [2n]
+    py = pat[..., 1].reshape(-1)
 
-    def one(patch, c, s):
-        rx = c * px - s * py
-        ry = s * px + c * py
-        vals = _bilinear_patch(patch, rx.reshape(-1), ry.reshape(-1))
-        vals = vals.reshape(n_bits, 2)
-        return jnp.where(vals[:, 1] > vals[:, 0], 1, -1).astype(jnp.int8)
+    k = patches.shape[0]
+    pad = (-k) % kp_chunk
+    if pad:
+        patches = jnp.pad(patches, ((0, pad), (0, 0), (0, 0)))
+        cos = jnp.pad(cos, ((0, pad),))
+        sin = jnp.pad(sin, ((0, pad),))
+    n_chunks = patches.shape[0] // kp_chunk
+    p_c = patches.reshape(n_chunks, kp_chunk, PATCH, PATCH)
+    c_c = cos.reshape(n_chunks, kp_chunk)
+    s_c = sin.reshape(n_chunks, kp_chunk)
 
-    return jax.vmap(one)(patches, cos, sin)
+    def step(_, inp):
+        p, c, s = inp
+        rx = c[:, None] * px - s[:, None] * py   # [k, 2n]
+        ry = s[:, None] * px + c[:, None] * py
+        vals = sample_patches(p, rx, ry).reshape(kp_chunk, n_bits, 2)
+        bits = jnp.where(vals[..., 1] > vals[..., 0], 1, -1).astype(jnp.int8)
+        return None, bits
+
+    _, bits = jax.lax.scan(step, None, (p_c, c_c, s_c))
+    return bits.reshape(-1, n_bits)[:k]
+
+
+@lru_cache(maxsize=4)
+def _blur_band_matrix(size: int, ksize: int, sigma: float) -> np.ndarray:
+    """[size, size] banded Gaussian matrix with reflect-101 edges.
+
+    blurred = B @ patch @ B.T — blurring the extracted patch with two small
+    matmuls replaces blurring whole pyramid levels and re-gathering patches.
+    Descriptor sample points stay >= (HALF_PATCH - DESC_RADIUS*sqrt(2) -
+    ksize//2) > 0 px away from the patch border, so border handling
+    differences vs a whole-image blur never reach the sampled area.
+    """
+    from .image import _gauss_kernel_1d
+
+    g = _gauss_kernel_1d(ksize, sigma)
+    half = ksize // 2
+    b = np.zeros((size, size), np.float32)
+    for i in range(size):
+        for t in range(-half, half + 1):
+            j = i + t
+            if j < 0:
+                j = -j  # reflect-101
+            elif j >= size:
+                j = 2 * (size - 1) - j
+            b[i, j] += g[t + half]
+    return b
+
+
+def blur_patches(patches: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
+    """Gaussian-blur [K, P, P] patches via banded matmuls (MXU)."""
+    b = _blur_band_matrix(patches.shape[-1], ksize, sigma)
+    x = jnp.einsum("ij,kjq->kiq", b, patches, preferred_element_type=jnp.float32)
+    return jnp.einsum("kiq,jq->kij", x, b, preferred_element_type=jnp.float32)
 
 
 def pack_descriptor_bits(desc_pm1: jax.Array) -> jax.Array:
