@@ -49,6 +49,21 @@ CREATE TABLE IF NOT EXISTS videos_mapping (
     page INTEGER,
     UNIQUE (video_id, video_ms)
 );
+-- Framework extension (not in the reference schema): per-chunk progress so
+-- 30-hour batch runs survive interruption with frame granularity instead of
+-- the reference's whole-video granularity (SURVEY.md 5.4).
+CREATE TABLE IF NOT EXISTS videos_mapping_partial (
+    video_id INTEGER NOT NULL REFERENCES videos (id) ON DELETE CASCADE,
+    frame_idx INTEGER NOT NULL,
+    video_ms INTEGER NOT NULL,
+    pdf_hash TEXT,
+    page INTEGER,
+    UNIQUE (video_id, frame_idx)
+);
+CREATE TABLE IF NOT EXISTS videos_progress (
+    video_id INTEGER PRIMARY KEY REFERENCES videos (id) ON DELETE CASCADE,
+    last_frame_idx INTEGER NOT NULL
+);
 """
 
 
@@ -203,6 +218,72 @@ class Db:
                     " VALUES (?, ?, ?, ?)",
                     (video_id, video_ms, pdf_hash, page_idx if page_idx is not None else 0),
                 )
+
+    # -- per-chunk checkpointing (framework extension) ---------------------------
+
+    def _video_id(self, video_hash: str) -> int:
+        row = self.conn.execute(
+            "SELECT id FROM videos WHERE video_hash = ?", (video_hash,)
+        ).fetchone()
+        if row is None:
+            raise KeyError(f"video {video_hash} not registered")
+        return row[0]
+
+    def save_partial_matchings(
+        self,
+        video_hash: str,
+        rows: list[tuple[int, int, str | None, int | None]],
+        last_frame_idx: int,
+    ) -> None:
+        """Checkpoint matchings for frames processed so far.
+
+        rows: (frame_idx, video_ms, pdf_hash or None, page_idx or None).
+        """
+        video_id = self._video_id(video_hash)
+        with self.conn:
+            for frame_idx, video_ms, pdf_hash, page in rows:
+                self.conn.execute(
+                    "INSERT OR REPLACE INTO videos_mapping_partial"
+                    " (video_id, frame_idx, video_ms, pdf_hash, page)"
+                    " VALUES (?, ?, ?, ?, ?)",
+                    (video_id, frame_idx, video_ms, pdf_hash, page),
+                )
+            self.conn.execute(
+                "INSERT OR REPLACE INTO videos_progress (video_id, last_frame_idx)"
+                " VALUES (?, ?)",
+                (video_id, last_frame_idx),
+            )
+
+    def load_partial_matchings(
+        self, video_hash: str
+    ) -> tuple[list[tuple[int, int, str | None, int | None]], int] | None:
+        """Returns (rows, last_frame_idx) of an interrupted run, or None."""
+        try:
+            video_id = self._video_id(video_hash)
+        except KeyError:
+            return None
+        prog = self.conn.execute(
+            "SELECT last_frame_idx FROM videos_progress WHERE video_id = ?",
+            (video_id,),
+        ).fetchone()
+        if prog is None:
+            return None
+        rows = self.conn.execute(
+            "SELECT frame_idx, video_ms, pdf_hash, page FROM videos_mapping_partial"
+            " WHERE video_id = ? ORDER BY frame_idx",
+            (video_id,),
+        ).fetchall()
+        return [tuple(r) for r in rows], prog[0]
+
+    def clear_partial_matchings(self, video_hash: str) -> None:
+        video_id = self._video_id(video_hash)
+        with self.conn:
+            self.conn.execute(
+                "DELETE FROM videos_mapping_partial WHERE video_id = ?", (video_id,)
+            )
+            self.conn.execute(
+                "DELETE FROM videos_progress WHERE video_id = ?", (video_id,)
+            )
 
     # -- viewer query (db.rs:212-271) ------------------------------------------
 

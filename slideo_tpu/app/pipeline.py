@@ -35,7 +35,7 @@ from ..ops import image as image_ops
 from .db import Db, PdfExtractedPagesDir
 from ..utils.trace import StageTracer
 from .hashing import get_temp_path_key
-from .progress import ProgressReporter, null_reporter
+from .progress import ComposedProgressReporter, ProgressReporter, null_reporter
 from ..io import pdf as pdf_io
 from ..io.video import open_video_info, sampled_frames
 
@@ -166,7 +166,18 @@ class MatchingEngine:
         video_path: Path,
         reporter: ProgressReporter = null_reporter,
         tracer: StageTracer | None = None,
+        checkpoint=None,
+        resume_state: tuple[list, int] | None = None,
     ) -> list[Matching]:
+        """Match one video; optionally checkpointing per-chunk progress.
+
+        checkpoint: callable(rows, last_frame_idx) with rows =
+        (frame_idx, video_ms, pdf_hash, page_idx 0-based), invoked after each
+        batch with the newly decided matchings (framework extension over the
+        reference's whole-video granularity, SURVEY.md §5.4).
+        resume_state: (rows, last_frame_idx) from Db.load_partial_matchings —
+        decoding restarts after last_frame_idx.
+        """
         cfg = self.cfg
         tracer = tracer or StageTracer(enabled=False)
         info = open_video_info(video_path)
@@ -178,11 +189,47 @@ class MatchingEngine:
             Matching(video_ms=total_ms, video_frame_idx=info.total_frames, page=None)
         ]
 
+        start_after = -1
+        if resume_state is not None:
+            by_key = {(p.pdf_hash, p.page_nr): p for p in self.pages}
+            rows, start_after = resume_state
+            for frame_idx, video_ms, pdf_hash, page_idx in rows:
+                page = (
+                    by_key.get((pdf_hash, page_idx + 1))
+                    if pdf_hash is not None and page_idx is not None
+                    else None
+                )
+                results.append(
+                    Matching(video_ms=video_ms, video_frame_idx=frame_idx, page=page)
+                )
+
         batch: list = []
         pending: list = []  # changed frames awaiting a match batch
         prev_small = None
         processed = 0
         bs = cfg.video.batch_size
+        last_deduped = start_after  # highest frame idx through dedup
+        ckpt_cursor = len(results)  # results[0..cursor) already checkpointed
+
+        def save_checkpoint():
+            nonlocal ckpt_cursor
+            if checkpoint is None:
+                return
+            # A frame is "decided" once deduped and (if changed) matched;
+            # frames still in `pending` gate the checkpoint frontier.
+            frontier = pending[0].frame_idx - 1 if pending else last_deduped
+            new_rows = [
+                (
+                    m.video_frame_idx,
+                    m.video_ms,
+                    m.page.pdf_hash if m.page else None,
+                    (m.page.page_nr - 1) if m.page else None,
+                )
+                for m in results[ckpt_cursor:]
+                if m.video_frame_idx <= frontier
+            ]
+            ckpt_cursor = len(results)
+            checkpoint(new_rows, frontier)
 
         def flush_matches(force: bool = False):
             nonlocal pending
@@ -207,7 +254,7 @@ class MatchingEngine:
                     )
 
         def flush_dedup(force: bool = False):
-            nonlocal batch, prev_small, processed
+            nonlocal batch, prev_small, processed, last_deduped
             if not batch or (len(batch) < bs and not force):
                 return
             frames_np = np.stack([b.gray for b in batch])
@@ -230,15 +277,18 @@ class MatchingEngine:
                 if changed_np[i]:
                     pending.append(b)
                 processed += 1
+                last_deduped = b.frame_idx
             reporter(processed, frames_total, f"Processing frames of '{video_path.name}'...")
             batch = []
             flush_matches()
+            save_checkpoint()
 
         frame_iter = sampled_frames(
             video_path,
             cfg.video.interval_s,
             mode=cfg.video.decode_mode,
             workers=cfg.video.decode_workers,
+            start_after_frame=start_after,
         )
         while True:
             with tracer.stage("decode"):
@@ -249,6 +299,7 @@ class MatchingEngine:
             flush_dedup()
         flush_dedup(force=True)
         flush_matches(force=True)
+        save_checkpoint()
         reporter(frames_total, frames_total, "Finished!")
 
         # Sort by time; drop consecutive duplicates (lib.rs:229-244).
@@ -271,10 +322,27 @@ def sync(
     reporter: ProgressReporter = null_reporter,
     tracer: StageTracer | None = None,
 ) -> None:
-    """Match every video against the deck and persist matchings."""
+    """Match every video against the deck and persist matchings.
+
+    Progress across all videos is composed into the caller's single bar
+    (reference: ComposedProgressReporter, progress.rs:5-36).
+    """
     engine = MatchingEngine(cfg, pages)
-    for video_path, video_hash in videos:
-        matchings = engine.match_video(video_path, reporter, tracer)
+    composed = ComposedProgressReporter(reporter)
+    nested = [composed.create_nested() for _ in videos]
+    for (video_path, video_hash), video_reporter in zip(videos, nested):
+        resume_state = db.load_partial_matchings(video_hash)
+
+        def checkpoint(rows, last_frame_idx, _vh=video_hash):
+            db.save_partial_matchings(_vh, rows, last_frame_idx)
+
+        matchings = engine.match_video(
+            video_path,
+            video_reporter,
+            tracer,
+            checkpoint=checkpoint,
+            resume_state=resume_state,
+        )
         rows = [
             (
                 m.video_ms,
@@ -284,3 +352,4 @@ def sync(
             for m in matchings
         ]
         db.update_video_matchings(video_hash, rows)
+        db.clear_partial_matchings(video_hash)

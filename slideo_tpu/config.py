@@ -77,6 +77,11 @@ class MatchConfig:
     min_rating: float = 50.0        # required inlier count
     min_rating_ratio: float = 0.2   # required rating / best rating
     min_similarity: float = 0.5     # required warped-image similarity
+    verify_stride: int = 2          # verification sampling stride over the
+                                    # thumbnail grid (1 = reference-exact
+                                    # dense comparison; 2 = every 2nd pixel,
+                                    # 4x fewer gathers, statistically
+                                    # indistinguishable similarity)
     # Two-stage screening for large decks (TPU-specific; FLANN-LSH analogue).
     screen_above_slides: int = 64   # screen when the deck has more slides than this
     screen_slides: int = 64         # candidate slides surviving stage-1 screening

@@ -77,18 +77,23 @@ def _to_gray(frame: np.ndarray) -> np.ndarray:
     return frame.astype(np.float32)
 
 
-def _sampled_frames_grab(path: Path, interval_s: float) -> Iterator[SampledFrame]:
+def _sampled_frames_grab(
+    path: Path, interval_s: float, start_after_frame: int = -1
+) -> Iterator[SampledFrame]:
     """Reference-exact loop (video_capture.rs:39-58): grab every frame,
-    retrieve one per interval."""
+    retrieve one per interval. start_after_frame skips (seeks past) all
+    frames <= that index — the checkpoint/resume path."""
     cap = cv2.VideoCapture(str(path))
     fps = cap.get(cv2.CAP_PROP_FPS) or 25.0
     stride = max(int(fps * interval_s), 1)
+    if start_after_frame >= 0:
+        cap.set(cv2.CAP_PROP_POS_FRAMES, start_after_frame + 1)
     try:
         while True:
             frame_idx = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
             if not cap.grab():
                 return
-            if frame_idx % stride == 0:
+            if frame_idx % stride == 0 and frame_idx > start_after_frame:
                 ok, frame = cap.retrieve()
                 if not ok:
                     return
@@ -115,13 +120,15 @@ def _decode_chunk(
 
 
 def _sampled_frames_seek(
-    path: Path, interval_s: float, workers: int
+    path: Path, interval_s: float, workers: int, start_after_frame: int = -1
 ) -> Iterator[SampledFrame]:
     """Seek straight to sampled indices, decoding chunks in parallel threads
     (cv2 releases the GIL inside ffmpeg)."""
     info = open_video_info(path)
     stride = info.sample_stride(interval_s)
-    indices = list(range(0, info.total_frames, stride))
+    indices = [
+        i for i in range(0, info.total_frames, stride) if i > start_after_frame
+    ]
     if not indices:
         return
     workers = max(1, min(workers, len(indices)))
@@ -152,7 +159,8 @@ def sampled_frames(
     interval_s: float = 5.0,
     mode: str = "grab",
     workers: int = 4,
+    start_after_frame: int = -1,
 ) -> Iterator[SampledFrame]:
     if mode == "seek":
-        return _sampled_frames_seek(path, interval_s, workers)
-    return _sampled_frames_grab(path, interval_s)
+        return _sampled_frames_seek(path, interval_s, workers, start_after_frame)
+    return _sampled_frames_grab(path, interval_s, start_after_frame)

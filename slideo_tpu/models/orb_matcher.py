@@ -126,7 +126,10 @@ def cascade_from_table(
     top_t = ransac.Similarity(*(jnp.take(f, top_idx) for f in rr.transform))
     top_slides = jnp.take(cands.slide_ids, top_idx)
 
-    sims = verify.warp_similarity(frame, top_t, slide_smalls, top_slides, slide_hw)
+    sims = verify.warp_similarity(
+        frame, top_t, slide_smalls, top_slides, slide_hw,
+        stride=mcfg.verify_stride,
+    )
     sims = jnp.where(retain, sims, -jnp.inf)
 
     # Final pick (lib.rs:370-383): max similarity, must exceed 0.5.

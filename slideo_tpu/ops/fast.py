@@ -89,7 +89,14 @@ def detect_keypoints(
     feature_extractor.rs:17).
     """
     h, w = img.shape
-    score = nms3x3(fast_scores(img, threshold))
+    if jax.default_backend() == "cpu":
+        score = nms3x3(fast_scores(img, threshold))
+    else:
+        # Fused single-pass Pallas kernel on TPU (same output; see
+        # ops/pallas_fast.py).
+        from .pallas_fast import fast_scores_pallas
+
+        score = fast_scores_pallas(img, threshold)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)

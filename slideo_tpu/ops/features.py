@@ -79,10 +79,14 @@ def extract_features(img: jax.Array, cfg: OrbConfig) -> Features:
     sizes = level_sizes(h, w, cfg)
     quotas = cfg.per_level_quota
     per_level = []
+    prev = img
     for lvl, ((lh, lw), quota) in enumerate(zip(sizes, quotas)):
         if quota <= 0:
             continue
-        img_lvl = img if lvl == 0 else image.resize(img, (lh, lw), area=False)
+        # Successive level-to-level resize (like OpenCV ORB's pyramid):
+        # cheaper than resizing from level 0 every time and more faithful.
+        img_lvl = prev if lvl == 0 else image.resize(prev, (lh, lw), area=False)
+        prev = img_lvl
         usable = lh > 2 * cfg.edge_threshold and lw > 2 * cfg.edge_threshold
         if not usable:
             # Level too small for the keypoint border; emit empty quota slots.

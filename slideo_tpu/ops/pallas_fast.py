@@ -1,0 +1,148 @@
+"""Fused FAST-9/16 corner scoring + 3x3 NMS as a Pallas TPU kernel.
+
+The XLA formulation (ops/fast.py) materializes 16 rolled copies of the image
+([16, H, W]) and runs a multi-pass min/max cascade plus a separate NMS
+reduce_window — several full HBM round-trips. This kernel processes the
+image in VMEM-resident row bands with a 4-pixel halo: each band is DMA'd
+from HBM once, the 16 circle taps become static slices of the band, the
+9-window cascade and NMS stay on-chip, and each output element is written
+exactly once.
+
+Band blocks overlap by 2*HALO rows, which BlockSpec's block-index mapping
+cannot express — the kernel keeps the input in HBM (memory_space=ANY) and
+issues its own async copy of [i*band, i*band + band + 2*HALO) into scratch.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .fast import CIRCLE_OFFSETS
+
+__all__ = ["fast_scores_pallas"]
+
+HALO = 4  # 3 px circle radius + 1 px NMS neighborhood
+
+
+def _kernel(
+    x_hbm, out_ref, scratch, sem, *,
+    threshold: float, band: int, width: int, height: int, true_width: int,
+):
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(i * band, band + 2 * HALO), :],
+        scratch,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    x = scratch[:]
+    h = band + 2 * HALO
+    w = width + 2 * HALO
+
+    # Scores on the inner region (one extra ring beyond the band for NMS).
+    ch, cw = h - 6, w - 6
+    center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
+
+    def tap(dy, dx):
+        return jax.lax.slice(x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw))
+
+    diffs = [
+        (tap(dy, dx) - center).astype(jnp.bfloat16) for (dy, dx) in CIRCLE_OFFSETS
+    ]
+
+    # Circular 9-window reductions, computed incrementally so only the 16
+    # diff planes plus two accumulators are live at once (the log-cascade
+    # form keeps ~64 planes live and blows the 16 MB VMEM budget).
+    def seg_reduce(op, outer):
+        acc = None
+        for s0 in range(16):
+            m = diffs[s0]
+            for j in range(1, 9):
+                m = op(m, diffs[(s0 + j) % 16])
+            acc = m if acc is None else outer(acc, m)
+        return acc
+
+    bright = seg_reduce(jnp.minimum, jnp.maximum)
+    dark = -seg_reduce(jnp.maximum, jnp.minimum)
+    score = jnp.maximum(bright, dark).astype(jnp.float32)
+    score = jnp.where(score > threshold, score, 0.0)
+
+    # Zero the global 3px image ring BEFORE NMS (parity with ops/fast.py:
+    # ring pixels must not suppress interior neighbors). score[i, j] maps to
+    # image row (band_start + i - 1), col (j - 1).
+    band_start = pl.program_id(0) * band
+    gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
+    gx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1) - 1
+    # true_width masks the lane-alignment padding columns as well as the ring.
+    ring_ok = (gy >= 3) & (gy < height - 3) & (gx >= 3) & (gx < true_width - 3)
+    score = jnp.where(ring_ok, score, 0.0)
+
+    # 3x3 NMS on the score plane; the extra ring in ch/cw feeds the borders.
+    def nbr(dy, dx):
+        return jax.lax.slice(
+            score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + width)
+        )
+
+    s0 = nbr(0, 0)
+    neigh = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            n = nbr(dy, dx)
+            neigh = n if neigh is None else jnp.maximum(neigh, n)
+    out_ref[:] = jnp.where(s0 >= neigh, s0, 0.0)
+
+
+def fast_scores_pallas(
+    img: jax.Array, threshold: int, band: int = 16, interpret: bool = False
+) -> jax.Array:
+    """NMS'd FAST score map of a [H, W] float32 image (Pallas kernel).
+
+    Equivalent to ``nms3x3(fast_scores(img, threshold))`` from ops/fast.py;
+    the 3 px ring where the circle would wrap scores 0, like the XLA path.
+    """
+    h, w = img.shape
+    pad_h = (-h) % band
+    # Mosaic requires DMA slice shapes 128-aligned in the lane dimension;
+    # pad the (halo-extended) width up to a multiple of 128. The output
+    # width must be lane-aligned too.
+    w_out = w + ((-w) % 128)
+    w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    x = jnp.pad(
+        img.astype(jnp.float32),
+        ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)),
+    )
+    n_bands = (h + pad_h) // band
+
+    out = pl.pallas_call(
+        partial(
+            _kernel, threshold=float(threshold), band=band, width=w_out,
+            height=h, true_width=w,
+        ),
+        out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (band, w_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((band + 2 * HALO, w_in), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x)
+    out = out[:, :w]
+    out = out[:h]
+    # Zero the 3px ring where the circle would read padding (parity with
+    # ops/fast.py's explicit border mask).
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(inb, out, 0.0)

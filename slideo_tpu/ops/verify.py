@@ -56,6 +56,7 @@ def warp_similarity(
     cand_slide_ids: jax.Array,
     slide_hw: tuple[int, int],
     max_area: int = 300 * 400,
+    stride: int = 1,
 ) -> jax.Array:
     """Similarity of the warped frame vs each candidate slide thumbnail.
 
@@ -81,10 +82,11 @@ def warp_similarity(
     # Slide-thumbnail pixel (i, j) center in full slide coords.
     sy = full_h / hs
     sx = full_w / ws
-    jj = (jnp.arange(ws, dtype=jnp.float32) + 0.5) * sx - 0.5
-    ii = (jnp.arange(hs, dtype=jnp.float32) + 0.5) * sy - 0.5
-    gx = jnp.broadcast_to(jj[None, :], (hs, ws))
-    gy = jnp.broadcast_to(ii[:, None], (hs, ws))
+    jj = (jnp.arange(0, ws, stride, dtype=jnp.float32) + 0.5) * sx - 0.5
+    ii = (jnp.arange(0, hs, stride, dtype=jnp.float32) + 0.5) * sy - 0.5
+    out_h, out_w = ii.shape[0], jj.shape[0]
+    gx = jnp.broadcast_to(jj[None, :], (out_h, out_w))
+    gy = jnp.broadcast_to(ii[:, None], (out_h, out_w))
 
     def one(t: Similarity, slide_id):
         fx = t.a * gx - t.b * gy + t.tx
@@ -92,8 +94,8 @@ def warp_similarity(
         sx_ = (fx + 0.5) * inv_fx - 0.5
         sy_ = (fy + 0.5) * inv_fy - 0.5
         warped = _bilinear_image(frame_small, sx_.reshape(-1), sy_.reshape(-1))
-        warped = warped.reshape(hs, ws)
-        small = slide_smalls[slide_id]
+        warped = warped.reshape(out_h, out_w)
+        small = slide_smalls[slide_id][::stride, ::stride]
         return compute_similarity(warped, small, channels=1)
 
     return jax.vmap(one)(transforms, cand_slide_ids)

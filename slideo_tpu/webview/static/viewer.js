@@ -90,4 +90,21 @@ async function init() {
   statusEl.textContent = `${pages.length} pages, ${matchings.length} matchings.`;
 }
 
+// Drag & drop a PDF to switch decks: hash the file client-side and reload
+// with its content hash (reference: MainView.tsx:36-45 using js-sha256;
+// WebCrypto here).
+document.body.addEventListener("dragover", (e) => e.preventDefault());
+document.body.addEventListener("drop", async (e) => {
+  e.preventDefault();
+  const file = e.dataTransfer && e.dataTransfer.files && e.dataTransfer.files[0];
+  if (!file) return;
+  statusEl.textContent = `Hashing ${file.name}…`;
+  const buf = await file.arrayBuffer();
+  const digest = await crypto.subtle.digest("SHA-256", buf);
+  const hex = [...new Uint8Array(digest)].map((b) => b.toString(16).padStart(2, "0")).join("");
+  const p = new URLSearchParams(location.search);
+  p.set("pdf-hash", hex);
+  location.search = p.toString();
+});
+
 init();

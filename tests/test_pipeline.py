@@ -120,3 +120,90 @@ def test_video_info_and_sampling(fixture_dir):
     assert [f.frame_idx for f in seek] == [0, 25, 50, 75]
     # decoded content should agree between modes
     assert np.abs(seek[2].gray - frames[2].gray).mean() < 2.0
+
+
+def test_checkpoint_resume(fixture_dir, small_cfg, tmp_path):
+    """Interrupt after a mid-run checkpoint; resume must complete the video
+    without reprocessing checkpointed frames and produce the same timeline."""
+    from slideo_tpu.app.pipeline import MatchingEngine
+
+    # denser sampling + tiny batches so checkpoints happen mid-video
+    cfg = dataclasses.replace(
+        small_cfg,
+        video=dataclasses.replace(small_cfg.video, batch_size=2, interval_s=2.0),
+    )
+
+    db = Db(tmp_path / "slideo.db")
+    f = fixture_dir
+    db.set_pdf_extracted_pages_dir(
+        PdfExtractedPagesDir(f["pdf_hash"], f["pages_dir"], True)
+    )
+    pages = pipeline.pdfs_to_images([(f["pdf_path"], f["pdf_hash"])], db)
+    db.create_or_reset_video(f["video_hash"], [f["pdf_hash"]])
+
+    engine = MatchingEngine(cfg, pages)
+
+    class Stop(Exception):
+        pass
+
+    calls = []
+
+    def crashing_checkpoint(rows, last_frame_idx):
+        db.save_partial_matchings(f["video_hash"], rows, last_frame_idx)
+        calls.append(last_frame_idx)
+        # crash at the first mid-video checkpoint (not the final one)
+        if 0 <= last_frame_idx < 90:
+            raise Stop()
+
+    try:
+        engine.match_video(f["vid_path"], checkpoint=crashing_checkpoint)
+        raise AssertionError("expected simulated crash")
+    except Stop:
+        pass
+
+    state = db.load_partial_matchings(f["video_hash"])
+    assert state is not None
+    saved_rows, last_idx = state
+    assert last_idx >= 0
+    assert not db.find_mapping_info(f["video_hash"]).finished
+
+    # Resume: frames <= last_idx must not be decoded again.
+    seen = []
+    orig = pipeline.sampled_frames
+
+    def spy(*a, **kw):
+        for sf in orig(*a, **kw):
+            seen.append(sf.frame_idx)
+            yield sf
+
+    pipeline_sampled = pipeline.sampled_frames
+    pipeline.sampled_frames = spy
+    try:
+        matchings = engine.match_video(
+            f["vid_path"],
+            checkpoint=lambda rows, idx: db.save_partial_matchings(
+                f["video_hash"], rows, idx
+            ),
+            resume_state=state,
+        )
+    finally:
+        pipeline.sampled_frames = pipeline_sampled
+    assert seen and min(seen) > last_idx
+
+    db.update_video_matchings(
+        f["video_hash"],
+        [
+            (m.video_ms, m.page.pdf_hash if m.page else None,
+             (m.page.page_nr - 1) if m.page else None)
+            for m in matchings
+        ],
+    )
+    db.clear_partial_matchings(f["video_hash"])
+    assert db.load_partial_matchings(f["video_hash"]) is None
+
+    rows = db.conn.execute(
+        "SELECT video_ms, page FROM videos_mapping ORDER BY video_ms"
+    ).fetchall()
+    # same shape as the uninterrupted run: page 0 at start, page 2 later
+    assert rows[0][1] == 0
+    assert any(r[1] == 2 for r in rows)
