@@ -33,18 +33,22 @@ def synthesize(n_slides: int, slide_hw, frame_hw, batch: int, seed: int = 0):
         img = np.full((sh, sw), 255, np.uint8)
         cv2.rectangle(img, (30, 20), (sw - 30, 80), 40, -1)
         cv2.putText(img, f"Slide {s}", (40, 65), cv2.FONT_HERSHEY_SIMPLEX, 1.4, 255, 3)
-        for _ in range(30):
+        for _ in range(45):
             y, x = rng.randint(110, sh - 60), rng.randint(40, sw - 160)
             w, h = rng.randint(40, 150), rng.randint(8, 22)
             cv2.rectangle(img, (x, y), (x + w, y + h), int(rng.randint(0, 130)), -1)
+        for _ in range(6):
+            y, x = rng.randint(140, sh - 40), rng.randint(40, sw - 400)
+            cv2.putText(img, f"line {rng.randint(1000)} item {rng.randint(1000)}",
+                        (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.9, int(rng.randint(0, 100)), 2)
         slides[s] = img
     fh, fw = frame_hw
     frames = np.zeros((batch, fh, fw), np.float32)
     for b in range(batch):
         s = rng.randint(n_slides)
-        m = cv2.getRotationMatrix2D((sw / 2, sh / 2), rng.uniform(-4, 4), rng.uniform(0.85, 1.0))
-        m[:, 2] += [rng.uniform(-30, 30), rng.uniform(-20, 20)]
-        f = cv2.warpAffine(slides[s], m, (fw, fh), borderValue=30)
+        m = cv2.getRotationMatrix2D((sw / 2, sh / 2), rng.uniform(-3, 3), rng.uniform(0.9, 1.0))
+        m[:, 2] += [rng.uniform(-20, 20), rng.uniform(-15, 15)]
+        f = cv2.warpAffine(slides[s], m, (fw, fh), borderValue=40)
         frames[b] = f + rng.randn(fh, fw) * 2
     return slides, frames
 

@@ -51,6 +51,9 @@ class PdfPage:
     image_path: Path
     page_nr: int  # 1-based
 
+    def get_path(self) -> Path:  # MatchableImage protocol (matching.py)
+        return self.image_path
+
 
 @dataclass
 class Matching:
@@ -111,9 +114,10 @@ def _load_page_grays(pages: list[PdfPage]) -> tuple[np.ndarray, tuple[int, int]]
     """
     grays = []
     for p in pages:
-        img = cv2.imread(str(p.image_path), cv2.IMREAD_GRAYSCALE)
+        path = p.get_path() if hasattr(p, "get_path") else p.image_path
+        img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
         if img is None:
-            raise IOError(f"Could not read file '{p.image_path}'")
+            raise IOError(f"Could not read file '{path}'")
         grays.append(img.astype(np.float32))
     h = max(g.shape[0] for g in grays)
     w = max(g.shape[1] for g in grays)
@@ -353,3 +357,39 @@ def sync(
         ]
         db.update_video_matchings(video_hash, rows)
         db.clear_partial_matchings(video_hash)
+
+
+class _VideoMatcherTask:
+    """One bound (deck x video) unit of work (reference: lib.rs:26-29)."""
+
+    def __init__(self, engine: MatchingEngine, video_path: Path, reporter):
+        self._engine = engine
+        self._video_path = Path(video_path)
+        self._reporter = reporter
+
+    def process(self) -> list[Matching]:
+        return self._engine.match_video(self._video_path, self._reporter)
+
+
+class TpuImageVideoMatcher:
+    """The TPU engine behind the engine-neutral interface
+    (slideo_tpu.matching): the reference's OpenCVImageVideoMatcher analogue
+    (crates/matching-opencv/src/lib.rs:34-75)."""
+
+    def __init__(self, cfg: SlideoConfig | None = None):
+        from ..config import DEFAULT_CONFIG
+
+        self.cfg = cfg or DEFAULT_CONFIG
+
+    def create_video_matcher(self, images, reporter=null_reporter) -> MatchingEngine:
+        reporter(0, len(images), "Analyzing PDF pages...")
+        engine = MatchingEngine(self.cfg, list(images))
+        reporter(len(images), len(images), "PDF page analysis successful.")
+        return engine
+
+
+def _match_images_with_video(self, video_path: Path, reporter=null_reporter):
+    return _VideoMatcherTask(self, video_path, reporter)
+
+
+MatchingEngine.match_images_with_video = _match_images_with_video

@@ -207,3 +207,29 @@ def test_checkpoint_resume(fixture_dir, small_cfg, tmp_path):
     # same shape as the uninterrupted run: page 0 at start, page 2 later
     assert rows[0][1] == 0
     assert any(r[1] == 2 for r in rows)
+
+
+def test_engine_satisfies_matching_protocols(fixture_dir, small_cfg, tmp_path):
+    """The TPU engine plugs into the engine-neutral interface layer."""
+    from slideo_tpu import matching as M
+    from slideo_tpu.app.pipeline import TpuImageVideoMatcher
+
+    db = Db(tmp_path / "slideo.db")
+    f = fixture_dir
+    db.set_pdf_extracted_pages_dir(
+        PdfExtractedPagesDir(f["pdf_hash"], f["pages_dir"], True)
+    )
+    pages = pipeline.pdfs_to_images([(f["pdf_path"], f["pdf_hash"])], db)
+    assert isinstance(pages[0], M.MatchableImage)
+    assert pages[0].get_path().exists()
+
+    factory = TpuImageVideoMatcher(small_cfg)
+    assert isinstance(factory, M.ImageVideoMatcher)
+    matcher = factory.create_video_matcher(pages)
+    assert isinstance(matcher, M.VideoMatcher)
+    task = matcher.match_images_with_video(f["vid_path"])
+    assert isinstance(task, M.VideoMatcherTask)
+    results = task.process()
+    # first record shows page 1 (index 0)
+    first = [m for m in results if m.page is not None][0]
+    assert first.page.page_nr == 1
