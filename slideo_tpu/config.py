@@ -91,6 +91,24 @@ class MatchConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class SiftConfig:
+    """SIFT-family scale-invariant features (second engine; the reference
+    has no SIFT — these are this framework's own defaults, see ops/sift.py)."""
+
+    max_keypoints: int = 2048       # fixed keypoint slots (sum of octave quotas)
+    n_octaves: int = 5
+    octave_quota_decay: float = 0.5  # keypoint quota halves per octave
+    sigma0: float = 1.6             # base blur of the scale space
+    blur_ksize: int = 9
+    contrast_threshold: float = 8.0  # |DoG| floor (on 0..255 pixel scale)
+    edge_ratio: float = 10.0        # SIFT r: tr^2/det < (r+1)^2/r
+    border: int = 40                # keypoint-free border per octave (px)
+    descriptor_radius: float = 12.0  # descriptor support half-width (patch px)
+    # Matching (Lowe's ratio test)
+    lowe_ratio: float = 0.75
+
+
+@dataclasses.dataclass(frozen=True)
 class VideoConfig:
     """Frame sampling and dedup (reference: video_capture.rs, lib.rs:145)."""
 
@@ -105,8 +123,10 @@ class VideoConfig:
 @dataclasses.dataclass(frozen=True)
 class SlideoConfig:
     orb: OrbConfig = dataclasses.field(default_factory=OrbConfig)
+    sift: SiftConfig = dataclasses.field(default_factory=SiftConfig)
     match: MatchConfig = dataclasses.field(default_factory=MatchConfig)
     video: VideoConfig = dataclasses.field(default_factory=VideoConfig)
+    engine: str = "orb"             # feature engine: "orb" | "sift"
 
 
 DEFAULT_CONFIG = SlideoConfig()

@@ -177,16 +177,16 @@ def match_table(
     desc_c = desc.reshape(n_chunks, chunk_slides * k_per_slide, d_bits)
     valid_c = valid.reshape(n_chunks, chunk_slides, k_per_slide)
 
-    # bf16 inputs with f32 accumulation: exact for +-1 dots (all partial sums
-    # are integers within +-256, representable in bf16/f32) and runs the MXU
-    # at twice the f32 rate.
-    query_bf = query.astype(jnp.bfloat16)
+    # f32 inputs with f32 accumulation: exact for +-1 dots, and measured
+    # fastest on v5e for this [2048, 256] x [256, 16k] shape (bf16 inputs
+    # lowered ~8x slower here; int8 ~1.4x slower — see BENCH notes).
+    query_f = query.astype(jnp.float32)
 
     def step(_, inputs):
         dchunk, vchunk = inputs
         scores = jax.lax.dot_general(
-            query_bf,
-            dchunk.astype(jnp.bfloat16),
+            query_f,
+            dchunk.astype(jnp.float32),
             (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(q, chunk_slides, k_per_slide)
