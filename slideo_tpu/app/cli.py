@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="video decode strategy (grab=reference-exact, seek=fast)")
     p.add_argument("--trace", action="store_true",
                    help="print per-stage timing after processing")
+    p.add_argument("--engine", choices=["orb", "sift"], default=None,
+                   help="feature engine: orb (reference-faithful, default) or "
+                        "sift (scale-invariant + homography, for camera "
+                        "recordings with perspective)")
     return p
 
 
@@ -75,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = dataclasses.replace(
             cfg, video=dataclasses.replace(cfg.video, decode_mode=args.decode_mode)
         )
+    if args.engine is not None:
+        cfg = dataclasses.replace(cfg, engine=args.engine)
 
     try:
         checked = [CheckedPath.from_path(f) for f in args.files]

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlideoConfig
-from ..models import orb_matcher
+from ..models import orb_matcher, sift_matcher
 from ..ops import image as image_ops
 from .db import Db, PdfExtractedPagesDir
 from ..utils.trace import StageTracer
@@ -139,7 +139,10 @@ class MatchingEngine:
         self.cfg = cfg
         self.pages = pages
         grays, self.slide_hw = _load_page_grays(pages)
-        build = jax.jit(partial(orb_matcher.build_slide_index, cfg=cfg))
+        if cfg.engine == "sift":
+            build = jax.jit(partial(sift_matcher.build_slide_index_sift, cfg=cfg))
+        else:
+            build = jax.jit(partial(orb_matcher.build_slide_index, cfg=cfg))
         self.index = jax.block_until_ready(build(jnp.asarray(grays)))
         self._match = None
         self._dedup = None
@@ -150,7 +153,15 @@ class MatchingEngine:
             return
         self._frame_hw = frame_hw
         cfg = self.cfg
-        _match_jit = orb_matcher.jit_match_frames(self.slide_hw, cfg)
+        if cfg.engine == "sift":
+            _match_jit = jax.jit(
+                partial(
+                    sift_matcher.match_frames_sift,
+                    slide_hw=self.slide_hw, cfg=cfg,
+                )
+            )
+        else:
+            _match_jit = orb_matcher.jit_match_frames(self.slide_hw, cfg)
         self._match = lambda frames, seeds: _match_jit(frames, seeds, self.index)
         small_hw = image_ops.small_size(*frame_hw, cfg.video.small_image_area)
 

@@ -1,0 +1,123 @@
+"""SIFT-family matcher: scale-invariant features + homography verification.
+
+Second model family beside the ORB matcher (BASELINE.json config 2:
+"SIFT + ratio-test kNN + RANSAC homography", config 4: camera-recorded
+perspective). Pipeline shape mirrors orb_matcher:
+
+    DoG features -> cosine match table -> Lowe ratio selection ->
+    RANSAC homography -> top-10 rating cascade -> projective warp
+    similarity -> winner.
+
+The acceptance thresholds reuse MatchConfig (inlier floor, rating ratio,
+similarity) so both engines plug into the same pipeline and cache.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlideoConfig
+from ..ops import hamming, homography, image, select, verify
+from ..ops.sift import SiftFeatures, extract_sift
+
+__all__ = ["SiftSlideIndex", "build_slide_index_sift", "match_frame_sift", "match_frames_sift"]
+
+
+class SiftSlideIndex(NamedTuple):
+    """Per-deck device state for the SIFT engine.
+
+    desc:   [S*K, 128] float32 unit descriptors
+    valid:  [S*K] bool
+    pts:    [S, K, 2] float32
+    smalls: [S, hs, ws] float32
+    """
+
+    desc: jax.Array
+    valid: jax.Array
+    pts: jax.Array
+    smalls: jax.Array
+
+
+def build_slide_index_sift(slide_grays: jax.Array, cfg: SlideoConfig) -> SiftSlideIndex:
+    feats: SiftFeatures = jax.lax.map(
+        lambda im: extract_sift(im, cfg.sift), slide_grays
+    )
+    s, k, d = feats.desc.shape
+    smalls = image.to_small_image(slide_grays, cfg.video.small_image_area)
+    return SiftSlideIndex(
+        desc=feats.desc.reshape(s * k, d),
+        valid=feats.valid.reshape(s * k),
+        pts=feats.pts,
+        smalls=smalls,
+    )
+
+
+def match_frame_sift(
+    frame: jax.Array,
+    frame_seed: jax.Array,
+    index: SiftSlideIndex,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+):
+    from .orb_matcher import FrameMatch
+
+    n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
+    mcfg = cfg.match
+
+    feats = extract_sift(frame, cfg.sift)
+    table = hamming.match_table_float(
+        feats.desc, index.desc, index.valid, n_slides, k_per_slide
+    )
+    cands = select.select_candidates_lowe(
+        table, feats.valid, mcfg, cfg.sift.lowe_ratio
+    )
+
+    cand_pts = jnp.take(index.pts, cands.slide_ids, axis=0)
+    src = jnp.take_along_axis(cand_pts, cands.train_ids[..., None], axis=1)
+    dst = jnp.take(feats.pts, cands.query_ids, axis=0)
+    valid = cands.match_valid & cands.cand_valid[:, None]
+
+    key = jax.random.fold_in(jax.random.key(mcfg.ransac_seed), frame_seed)
+    rr = homography.ransac_homography(src, dst, valid, key, mcfg)
+
+    t = min(mcfg.top_rated, rr.rating.shape[0])
+    top_rating, top_idx = jax.lax.top_k(rr.rating, t)
+    best_rating = top_rating[0]
+    retain = (top_rating > mcfg.min_rating) & (
+        top_rating / jnp.maximum(best_rating, 1e-9) > mcfg.min_rating_ratio
+    )
+    retain &= jnp.take(rr.ok & cands.cand_valid, top_idx)
+
+    top_h = homography.Homography(jnp.take(rr.transform.h, top_idx, axis=0))
+    top_slides = jnp.take(cands.slide_ids, top_idx)
+
+    sims = verify.warp_similarity_homography(
+        frame, top_h, index.smalls, top_slides, slide_hw,
+        stride=mcfg.verify_stride,
+    )
+    sims = jnp.where(retain, sims, -jnp.inf)
+
+    win = jnp.argmax(sims)
+    win_sim = sims[win]
+    accept = win_sim > mcfg.min_similarity
+    return FrameMatch(
+        slide=jnp.where(accept, top_slides[win], -1).astype(jnp.int32),
+        similarity=win_sim,
+        rating=top_rating[win],
+    )
+
+
+def match_frames_sift(
+    frames: jax.Array,
+    frame_seeds: jax.Array,
+    index: SiftSlideIndex,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+):
+    return jax.lax.map(
+        lambda args: match_frame_sift(args[0], args[1], index, slide_hw, cfg),
+        (frames, frame_seeds),
+    )

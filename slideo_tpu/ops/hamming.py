@@ -211,6 +211,59 @@ def match_table(
     )
 
 
+def match_table_float(
+    query: jax.Array,
+    desc: jax.Array,
+    valid: jax.Array,
+    n_slides: int,
+    k_per_slide: int,
+    chunk_slides: int = 8,
+    slide_ids: jax.Array | None = None,
+) -> MatchTable:
+    """Best-match table for float (e.g. SIFT) descriptors.
+
+    query: [Q, D] float32 L2-normalized; desc: [N, D] float32 (N = S*K);
+    dist = sqrt(max(2 - 2*dot, 0)) — the L2 distance of unit vectors, so the
+    same matmul+max/argmax machinery as the hamming table applies.
+    """
+    q, d_dim = query.shape
+    chunk_slides = max(1, min(chunk_slides, n_slides))
+    pad_s = (-n_slides) % chunk_slides
+    desc3 = desc.reshape(n_slides, k_per_slide, d_dim)
+    valid3 = valid.reshape(n_slides, k_per_slide)
+    if pad_s:
+        desc3 = jnp.pad(desc3, ((0, pad_s), (0, 0), (0, 0)))
+        valid3 = jnp.pad(valid3, ((0, pad_s), (0, 0)))
+    n_chunks = desc3.shape[0] // chunk_slides
+    desc_c = desc3.reshape(n_chunks, chunk_slides * k_per_slide, d_dim)
+    valid_c = valid3.reshape(n_chunks, chunk_slides, k_per_slide)
+
+    def step(_, inputs):
+        dchunk, vchunk = inputs
+        scores = jax.lax.dot_general(
+            query, dchunk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(q, chunk_slides, k_per_slide)
+        scores = jnp.where(vchunk[None], scores, jnp.float32(_NEG))
+        return None, (
+            jnp.max(scores, -1), jnp.argmax(scores, -1), jnp.any(vchunk, -1)
+        )
+
+    _, (best, arg, svalid) = jax.lax.scan(step, None, (desc_c, valid_c))
+    best = jnp.moveaxis(best, 0, 1).reshape(q, -1)[:, :n_slides]
+    arg = jnp.moveaxis(arg, 0, 1).reshape(q, -1)[:, :n_slides].astype(jnp.int32)
+    svalid = svalid.reshape(-1)[:n_slides]
+    dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+    if slide_ids is None:
+        slide_ids = jnp.arange(n_slides, dtype=jnp.int32)
+    return MatchTable(
+        dist=dist,
+        train=arg,
+        slide_ids=slide_ids,
+        valid=jnp.broadcast_to(svalid[None, :], (q, n_slides)),
+    )
+
+
 def match_table_frame(
     query: jax.Array,
     query_score: jax.Array,

@@ -93,6 +93,55 @@ def select_candidates_table(
     )
 
 
+def select_candidates_lowe(
+    table,
+    query_valid: jax.Array,
+    cfg: MatchConfig,
+    lowe_ratio: float = 0.75,
+) -> CandidateMatches:
+    """Candidate selection with Lowe's ratio test (the SIFT engine's rule).
+
+    A query keeps only its global nearest-neighbour match, and only when
+    best < lowe_ratio * second_best (second-best taken across the other
+    slides' per-slide bests — exact when NN1/NN2 land on different slides,
+    conservative otherwise). Grouping/compaction mirror
+    select_candidates_table.
+    """
+    q, s = table.dist.shape
+    big = jnp.float32(1e6)
+    valid = table.valid & query_valid[:, None]
+    dist = jnp.where(valid, table.dist, big)
+    best = jnp.min(dist, axis=1, keepdims=True)
+    is_best = dist <= best * 1.0001
+    # second best: min over columns excluding the best column(s)
+    second = jnp.min(jnp.where(is_best, big, dist), axis=1, keepdims=True)
+    passes = best < lowe_ratio * second
+    keep = valid & is_best & passes
+
+    counts = jnp.sum(keep, axis=0).astype(jnp.float32)
+    c = min(cfg.top_slides, s)
+    top_counts, cand_cols = jax.lax.top_k(counts, c)
+    cand_valid = top_counts > 0
+
+    m = min(cfg.max_matches_per_slide, q)
+
+    def compact(col):
+        mine = keep[:, col]
+        key = jnp.where(mine, big - table.dist[:, col], -big)
+        topv, qidx = jax.lax.top_k(key, m)
+        return qidx, jnp.take(table.train[:, col], qidx), topv > 0
+
+    query_ids, train_ids, match_valid = jax.vmap(compact)(cand_cols)
+    return CandidateMatches(
+        slide_ids=jnp.take(table.slide_ids, cand_cols),
+        cand_valid=cand_valid,
+        query_ids=query_ids,
+        train_ids=train_ids,
+        match_valid=match_valid,
+        counts=top_counts,
+    )
+
+
 def select_candidates(
     matches: KnnResult,
     query_valid: jax.Array,

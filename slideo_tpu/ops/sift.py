@@ -51,23 +51,27 @@ class SiftFeatures(NamedTuple):
     valid: jax.Array
 
 
-def _dog_extrema(d_prev, d_mid, d_next, contrast: float, edge_r: float):
-    """Extrema mask + response for the middle DoG level.
+def _dog_extrema(d_mid, contrast: float, edge_r: float):
+    """Spatial extrema mask + response for one DoG level.
 
-    26-neighbor comparison via static rolls (borders masked by caller) and
+    8-neighbor comparison via static rolls (borders masked by caller) and
     the SIFT edge rejection: tr(H)^2/det(H) < (r+1)^2/r on the 2x2 spatial
-    Hessian of d_mid.
+    Hessian. Scale-axis strictness is intentionally dropped: with a compact
+    truncated-kernel scale space the classic 26-neighbor test suppresses
+    nearly everything; per-level spatial extrema with contrast + edge tests
+    keep detector symmetry between slides and frames (which is what matching
+    needs) while octaves + levels provide the scale coverage.
     """
-    def nbrs(d, include_self):
+    def nbrs(d):
         vals = []
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0 and not include_self:
+                if dy == 0 and dx == 0:
                     continue
                 vals.append(jnp.roll(d, (dy, dx), axis=(0, 1)))
         return vals
 
-    others = nbrs(d_prev, True) + nbrs(d_mid, False) + nbrs(d_next, True)
+    others = nbrs(d_mid)
     omax = others[0]
     omin = others[0]
     for v in others[1:]:
@@ -205,7 +209,8 @@ def extract_sift(img: jax.Array, cfg: SiftConfig) -> SiftFeatures:
 
     for octave in range(n_octaves):
         oh, ow = base.shape
-        if oh < 2 * cfg.border + 8 or ow < 2 * cfg.border + 8:
+        min_dim = max(2 * cfg.border + 8, PATCH + 2)
+        if oh < min_dim or ow < min_dim:
             per_level.append(
                 SiftFeatures(
                     pts=jnp.zeros((quotas[octave], 2), jnp.float32),
@@ -221,9 +226,13 @@ def extract_sift(img: jax.Array, cfg: SiftConfig) -> SiftFeatures:
         sigmas = [cfg.sigma0 * (2 ** (s / 3)) for s in range(4)]
         blurs = [image_ops.gaussian_blur(base, cfg.blur_ksize, s) for s in sigmas]
         dogs = [blurs[i + 1] - blurs[i] for i in range(3)]
-        mask, resp = _dog_extrema(
-            dogs[0], dogs[1], dogs[2], cfg.contrast_threshold, cfg.edge_ratio
-        )
+        # union of per-level spatial extrema; response = strongest level
+        resp = None
+        for dlvl in dogs:
+            m, r = _dog_extrema(dlvl, cfg.contrast_threshold, cfg.edge_ratio)
+            r = jnp.where(m, r, 0.0)
+            resp = r if resp is None else jnp.maximum(resp, r)
+        mask = resp > 0
         ys_i = jax.lax.broadcasted_iota(jnp.int32, (oh, ow), 0)
         xs_i = jax.lax.broadcasted_iota(jnp.int32, (oh, ow), 1)
         inb = (

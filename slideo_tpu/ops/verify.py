@@ -99,3 +99,48 @@ def warp_similarity(
         return compute_similarity(warped, small, channels=1)
 
     return jax.vmap(one)(transforms, cand_slide_ids)
+
+
+def warp_similarity_homography(
+    frame: jax.Array,
+    transforms,
+    slide_smalls: jax.Array,
+    cand_slide_ids: jax.Array,
+    slide_hw: tuple[int, int],
+    max_area: int = 300 * 400,
+    stride: int = 1,
+) -> jax.Array:
+    """Projective variant of warp_similarity for the SIFT/homography engine.
+
+    transforms: ops.homography.Homography with [T, 8] params mapping full-res
+    slide coords -> full-res frame coords.
+    """
+    from .homography import Homography, apply_homography
+
+    hs, ws = slide_smalls.shape[-2], slide_smalls.shape[-1]
+    full_h, full_w = slide_hw
+    fh, fw = frame.shape
+    fsh, fsw = small_size(fh, fw, max_area)
+    frame_small = to_small_image(frame, max_area)
+    inv_fx = fsw / fw
+    inv_fy = fsh / fh
+
+    sy = full_h / hs
+    sx = full_w / ws
+    jj = (jnp.arange(0, ws, stride, dtype=jnp.float32) + 0.5) * sx - 0.5
+    ii = (jnp.arange(0, hs, stride, dtype=jnp.float32) + 0.5) * sy - 0.5
+    out_h, out_w = ii.shape[0], jj.shape[0]
+    gx = jnp.broadcast_to(jj[None, :], (out_h, out_w))
+    gy = jnp.broadcast_to(ii[:, None], (out_h, out_w))
+    grid = jnp.stack([gx, gy], axis=-1)
+
+    def one(h, slide_id):
+        f = apply_homography(Homography(h), grid)
+        sx_ = (f[..., 0] + 0.5) * inv_fx - 0.5
+        sy_ = (f[..., 1] + 0.5) * inv_fy - 0.5
+        warped = _bilinear_image(frame_small, sx_.reshape(-1), sy_.reshape(-1))
+        warped = warped.reshape(out_h, out_w)
+        small = slide_smalls[slide_id][::stride, ::stride]
+        return compute_similarity(warped, small, channels=1)
+
+    return jax.vmap(one)(transforms.h, cand_slide_ids)
