@@ -105,7 +105,11 @@ class SiftConfig:
     border: int = 40                # keypoint-free border per octave (px)
     descriptor_radius: float = 12.0  # descriptor support half-width (patch px)
     # Matching (Lowe's ratio test)
-    lowe_ratio: float = 0.75
+    lowe_ratio: float = 0.8
+    # Acceptance floor for this engine: Lowe filtering keeps at most one
+    # high-precision match per query, so far fewer inliers carry the same
+    # evidence as ORB's multi-match counting (MatchConfig.min_rating=50).
+    min_rating: float = 10.0
 
 
 @dataclasses.dataclass(frozen=True)

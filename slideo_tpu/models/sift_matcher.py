@@ -32,12 +32,14 @@ class SiftSlideIndex(NamedTuple):
     desc:   [S*K, 128] float32 unit descriptors
     valid:  [S*K] bool
     pts:    [S, K, 2] float32
+    scale:  [S, K] float32 octave scale per keypoint
     smalls: [S, hs, ws] float32
     """
 
     desc: jax.Array
     valid: jax.Array
     pts: jax.Array
+    scale: jax.Array
     smalls: jax.Array
 
 
@@ -51,6 +53,7 @@ def build_slide_index_sift(slide_grays: jax.Array, cfg: SlideoConfig) -> SiftSli
         desc=feats.desc.reshape(s * k, d),
         valid=feats.valid.reshape(s * k),
         pts=feats.pts,
+        scale=feats.scale,
         smalls=smalls,
     )
 
@@ -80,13 +83,20 @@ def match_frame_sift(
     dst = jnp.take(feats.pts, cands.query_ids, axis=0)
     valid = cands.match_valid & cands.cand_valid[:, None]
 
+    # Scale-aware inlier tolerance: localization error grows with the
+    # detection octave on BOTH sides of a match.
+    cand_scale = jnp.take(index.scale, cands.slide_ids, axis=0)
+    src_scale = jnp.take_along_axis(cand_scale, cands.train_ids, axis=1)
+    dst_scale = jnp.take(feats.scale, cands.query_ids, axis=0)
+    tol = jnp.maximum(src_scale, dst_scale)
+
     key = jax.random.fold_in(jax.random.key(mcfg.ransac_seed), frame_seed)
-    rr = homography.ransac_homography(src, dst, valid, key, mcfg)
+    rr = homography.ransac_homography(src, dst, valid, key, mcfg, tol=tol)
 
     t = min(mcfg.top_rated, rr.rating.shape[0])
     top_rating, top_idx = jax.lax.top_k(rr.rating, t)
     best_rating = top_rating[0]
-    retain = (top_rating > mcfg.min_rating) & (
+    retain = (top_rating > cfg.sift.min_rating) & (
         top_rating / jnp.maximum(best_rating, 1e-9) > mcfg.min_rating_ratio
     )
     retain &= jnp.take(rr.ok & cands.cand_valid, top_idx)

@@ -74,11 +74,14 @@ def _solve_h(a: jax.Array, b: jax.Array, w: jax.Array | None = None):
 
 
 def _inliers(
-    t: Homography, src: jax.Array, dst: jax.Array, valid: jax.Array, thresh: float
+    t: Homography, src, dst, valid, thresh, tol=None
 ) -> jax.Array:
+    """Inlier mask; ``tol`` [..., M] scales the threshold per match
+    (keypoint localization error grows with the detection octave)."""
     proj = apply_homography(Homography(t.h[..., None, :]), src)
     err2 = jnp.sum((proj - dst) ** 2, axis=-1)
-    return (err2 < thresh * thresh) & valid
+    t2 = thresh * thresh if tol is None else (thresh * tol) ** 2
+    return (err2 < t2) & valid
 
 
 class HomographyRansacResult(NamedTuple):
@@ -110,11 +113,13 @@ def ransac_homography(
     valid: jax.Array,
     key: jax.Array,
     cfg: MatchConfig,
+    tol: jax.Array | None = None,
 ) -> HomographyRansacResult:
     """RANSAC homography fits for C candidates at once.
 
     src, dst: [C, M, 2] (slide -> frame) with valid entries compacted to the
-    front (select_candidates* output).
+    front (select_candidates* output). tol: optional [C, M] per-match
+    threshold multipliers (e.g. the keypoints' octave scale).
     """
     c, m, _ = src.shape
     n_hyp = cfg.ransac_iters
@@ -160,6 +165,7 @@ def ransac_homography(
             dst_n[:, None, :, :],
             valid[:, None, :],
             thresh_n,
+            None if tol is None else tol[:, None, :],
         )
         counts = jnp.where(okk, jnp.sum(inl, axis=-1).astype(jnp.float32), -1.0)
         cb = jnp.argmax(counts, axis=-1)
@@ -177,7 +183,7 @@ def ransac_homography(
     a_all, b_all = _dlt_rows(src_n, dst_n)  # [C, 2M, 8], [C, 2M]
 
     def refine(h, _):
-        inl = _inliers(Homography(h), src_n, dst_n, valid, thresh_n)
+        inl = _inliers(Homography(h), src_n, dst_n, valid, thresh_n, tol)
         w = jnp.concatenate([inl, inl], axis=-1).astype(jnp.float32)
         t_new, ok = _solve_h(a_all, b_all, w)
         keep = ok & found & (jnp.sum(inl, -1) >= 4)
@@ -185,7 +191,7 @@ def ransac_homography(
 
     best_h, _ = jax.lax.scan(refine, best_h, None, length=cfg.ransac_refine_iters)
 
-    inl = _inliers(Homography(best_h), src_n, dst_n, valid, thresh_n)
+    inl = _inliers(Homography(best_h), src_n, dst_n, valid, thresh_n, tol)
     inl &= found[:, None]
     rating = jnp.sum(inl, axis=-1).astype(jnp.float32)
     return HomographyRansacResult(

@@ -42,12 +42,15 @@ class SiftFeatures(NamedTuple):
     pts:   [K, 2] float32 (x, y) in full-image coordinates
     desc:  [K, 128] float32, L2-normalized (zeros for invalid slots)
     score: [K] float32 |DoG| response
+    scale: [K] float32 octave scale (2**octave) — localization error grows
+           with it, so geometric verification uses scale-aware tolerances
     valid: [K] bool
     """
 
     pts: jax.Array
     desc: jax.Array
     score: jax.Array
+    scale: jax.Array
     valid: jax.Array
 
 
@@ -216,6 +219,7 @@ def extract_sift(img: jax.Array, cfg: SiftConfig) -> SiftFeatures:
                     pts=jnp.zeros((quotas[octave], 2), jnp.float32),
                     desc=jnp.zeros((quotas[octave], 128), jnp.float32),
                     score=jnp.zeros((quotas[octave],), jnp.float32),
+                    scale=jnp.ones((quotas[octave],), jnp.float32),
                     valid=jnp.zeros((quotas[octave],), bool),
                 )
             )
@@ -233,6 +237,20 @@ def extract_sift(img: jax.Array, cfg: SiftConfig) -> SiftFeatures:
             r = jnp.where(m, r, 0.0)
             resp = r if resp is None else jnp.maximum(resp, r)
         mask = resp > 0
+        # 2D subpixel offsets (quadratic fit of the mid DoG): off = -H^-1 g.
+        dmid = dogs[1]
+        gx_d = 0.5 * (jnp.roll(dmid, -1, 1) - jnp.roll(dmid, 1, 1))
+        gy_d = 0.5 * (jnp.roll(dmid, -1, 0) - jnp.roll(dmid, 1, 0))
+        dxx = jnp.roll(dmid, -1, 1) + jnp.roll(dmid, 1, 1) - 2 * dmid
+        dyy = jnp.roll(dmid, -1, 0) + jnp.roll(dmid, 1, 0) - 2 * dmid
+        dxy = 0.25 * (
+            jnp.roll(dmid, (-1, -1), (0, 1)) + jnp.roll(dmid, (1, 1), (0, 1))
+            - jnp.roll(dmid, (-1, 1), (0, 1)) - jnp.roll(dmid, (1, -1), (0, 1))
+        )
+        det = dxx * dyy - dxy * dxy
+        det = jnp.where(jnp.abs(det) > 1e-9, det, 1e-9)
+        off_x = jnp.clip(-(dyy * gx_d - dxy * gy_d) / det, -0.6, 0.6)
+        off_y = jnp.clip(-(dxx * gy_d - dxy * gx_d) / det, -0.6, 0.6)
         ys_i = jax.lax.broadcasted_iota(jnp.int32, (oh, ow), 0)
         xs_i = jax.lax.broadcasted_iota(jnp.int32, (oh, ow), 1)
         inb = (
@@ -252,10 +270,17 @@ def extract_sift(img: jax.Array, cfg: SiftConfig) -> SiftFeatures:
         cos, sin = _orientations_hist(patches)
         desc = _descriptors_from_patches(patches, cos, sin, cfg.descriptor_radius)
         desc = jnp.where(valid[:, None], desc, 0.0)
+        ox = jnp.take(off_x.reshape(-1), idx)
+        oy = jnp.take(off_y.reshape(-1), idx)
         pts = jnp.stack(
-            [xx.astype(jnp.float32), yy.astype(jnp.float32)], -1
+            [xx.astype(jnp.float32) + ox, yy.astype(jnp.float32) + oy], -1
         ) * jnp.float32(scale)
-        per_level.append(SiftFeatures(pts=pts, desc=desc, score=top, valid=valid))
+        per_level.append(
+            SiftFeatures(
+                pts=pts, desc=desc, score=top,
+                scale=jnp.full((kq,), scale, jnp.float32), valid=valid,
+            )
+        )
 
         base = image_ops.resize(base, (max(oh // 2, 1), max(ow // 2, 1)))
         scale *= 2.0
@@ -264,6 +289,7 @@ def extract_sift(img: jax.Array, cfg: SiftConfig) -> SiftFeatures:
         pts=jnp.concatenate([f.pts for f in per_level]),
         desc=jnp.concatenate([f.desc for f in per_level]),
         score=jnp.concatenate([f.score for f in per_level]),
+        scale=jnp.concatenate([f.scale for f in per_level]),
         valid=jnp.concatenate([f.valid for f in per_level]),
     )
     return feats

@@ -33,7 +33,57 @@ from ..models import orb_matcher
 from ..ops import hamming
 from ..ops.features import extract_features
 
-__all__ = ["make_mesh", "shard_index", "match_frames_sharded", "knn_index_sharded"]
+__all__ = [
+    "initialize_distributed",
+    "host_frame_shard",
+    "make_mesh",
+    "shard_index",
+    "match_frames_sharded",
+    "match_frames_mesh",
+    "knn_index_sharded",
+]
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host initialization (jax.distributed) for pod-slice runs.
+
+    Each host decodes its own shard of the sampled-frame stream and feeds
+    its local devices; the slide index is built once and replicated. Only
+    per-frame result records ([B] int32 + 2 floats) cross hosts. No-op when
+    the arguments are absent and the environment provides no cluster info
+    (single-host, the common case).
+    """
+    import jax
+
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        elif any(
+            k in __import__("os").environ
+            for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+        ):
+            jax.distributed.initialize()
+    except RuntimeError:
+        pass  # already initialized
+
+
+def host_frame_shard(frame_indices: list[int]) -> list[int]:
+    """The slice of sampled-frame indices this host should decode.
+
+    Frames are dealt round-robin by process so every host's share of
+    "changed" frames stays balanced for long videos.
+    """
+    import jax
+
+    return frame_indices[jax.process_index() :: jax.process_count()]
 
 
 def make_mesh(devices=None, axis: str = "frames") -> Mesh:
