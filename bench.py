@@ -16,7 +16,6 @@ pipeline where transfers overlap compute).
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import time
 

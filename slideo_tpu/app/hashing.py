@@ -8,7 +8,6 @@ when built (slideo_tpu.native); hashlib otherwise.
 from __future__ import annotations
 
 import hashlib
-import os
 import tempfile
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path

@@ -21,10 +21,7 @@ from __future__ import annotations
 
 import json
 import mimetypes
-import os
 import re
-import threading
-from functools import partial
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
