@@ -1,3 +1,3 @@
 """Matcher model families."""
 
-from . import orb_matcher  # noqa: F401
+from . import orb_matcher, sift_matcher  # noqa: F401

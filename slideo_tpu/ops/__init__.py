@@ -1,3 +1,15 @@
 """Device-side (JAX/XLA/Pallas) compute kernels."""
 
-from . import fast, features, hamming, image, orb, ransac, select, verify  # noqa: F401
+from . import (  # noqa: F401
+    fast,
+    features,
+    hamming,
+    homography,
+    image,
+    orb,
+    pallas_fast,
+    ransac,
+    select,
+    sift,
+    verify,
+)
