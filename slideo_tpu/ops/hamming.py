@@ -283,16 +283,27 @@ def match_table_frame(
         return match_table(query, index, n_slides, k_per_slide)
 
     cand = _screen_slides(query, query_score, index, n_slides, cfg)
-    rows = (cand[:, None] * k_per_slide + jnp.arange(k_per_slide)[None, :]).reshape(-1)
+    # Each slide's descriptors are one contiguous [K, D] block; gather the
+    # candidate sub-index with per-slide dynamic slices (contiguous DMAs)
+    # instead of a 131k-row gather.
+    d_dim = index.desc.shape[1]
+
+    def slice_slide(c):
+        row0 = c * k_per_slide
+        return (
+            jax.lax.dynamic_slice(index.desc, (row0, 0), (k_per_slide, d_dim)),
+            jax.lax.dynamic_slice(index.valid, (row0,), (k_per_slide,)),
+        )
+
+    sub_desc, sub_valid = jax.lax.map(slice_slide, cand)
+    n_cand = cand.shape[0]
     sub = DescriptorIndex(
-        desc=jnp.take(index.desc, rows, axis=0),
-        slide_ids=jnp.take(index.slide_ids, rows),
-        train_ids=jnp.take(index.train_ids, rows),
-        valid=jnp.take(index.valid, rows),
+        desc=sub_desc.reshape(n_cand * k_per_slide, d_dim),
+        slide_ids=jnp.repeat(cand, k_per_slide),
+        train_ids=jnp.tile(jnp.arange(k_per_slide, dtype=jnp.int32), n_cand),
+        valid=sub_valid.reshape(n_cand * k_per_slide),
     )
-    return match_table(
-        query, sub, cand.shape[0], k_per_slide, slide_ids=cand
-    )
+    return match_table(query, sub, n_cand, k_per_slide, slide_ids=cand)
 
 
 def knn(query: jax.Array, index: DescriptorIndex, k: int, chunk: int) -> KnnResult:
