@@ -77,7 +77,7 @@ class MatchConfig:
     min_rating: float = 50.0        # required inlier count
     min_rating_ratio: float = 0.2   # required rating / best rating
     min_similarity: float = 0.5     # required warped-image similarity
-    verify_stride: int = 2          # verification sampling stride over the
+    verify_stride: int = 1          # verification sampling stride over the
                                     # thumbnail grid (1 = reference-exact
                                     # dense comparison; 2 = every 2nd pixel,
                                     # 4x fewer gathers, statistically

@@ -25,27 +25,21 @@ __all__ = ["warp_similarity"]
 
 
 def _bilinear_image(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
-    """Bilinear sample [H, W] image at float coords; out-of-bounds -> 0."""
+    """Bilinear sample [H, W] image at float coords; out-of-bounds -> 0.
+
+    Gather-free: bilinear taps are densified into tent-weight matrices so the
+    sampling runs as one MXU contraction plus a row-weighted sum (the same
+    trick as ops/orb.sample_patches — per-element gathers are pathologically
+    slow on TPU). value_n = rowsum((Ry @ img) * Cx) with Ry [N, H], Cx [N, W].
+    """
     h, w = img.shape
     inb = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
-    x = jnp.clip(x, 0.0, w - 1.000001)
-    y = jnp.clip(y, 0.0, h - 1.000001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    ax = x - x0
-    ay = y - y0
-    flat = img.reshape(-1)
-    idx = y0 * w + x0
-    v00 = jnp.take(flat, idx)
-    v01 = jnp.take(flat, idx + 1)
-    v10 = jnp.take(flat, idx + w)
-    v11 = jnp.take(flat, idx + w + 1)
-    val = (
-        v00 * (1 - ay) * (1 - ax)
-        + v01 * (1 - ay) * ax
-        + v10 * ay * (1 - ax)
-        + v11 * ay * ax
-    )
+    grid_y = jnp.arange(h, dtype=jnp.float32)
+    grid_x = jnp.arange(w, dtype=jnp.float32)
+    ry = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.clip(y, 0.0, h - 1.0)[:, None] - grid_y))
+    cx = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.clip(x, 0.0, w - 1.0)[:, None] - grid_x))
+    rows = jnp.einsum("nh,hw->nw", ry, img, preferred_element_type=jnp.float32)
+    val = jnp.sum(rows * cx, axis=-1)
     return jnp.where(inb, val, 0.0)
 
 
@@ -98,7 +92,10 @@ def warp_similarity(
         small = slide_smalls[slide_id][::stride, ::stride]
         return compute_similarity(warped, small, channels=1)
 
-    return jax.vmap(one)(transforms, cand_slide_ids)
+    # Sequential over the <=10 candidates: the tent-weight transients are
+    # [N, fsh]+[N, fsw] per candidate; vmapping 10x would multiply them.
+    return jax.lax.map(lambda args: one(Similarity(*args[:4]), args[4]),
+                       (*transforms, cand_slide_ids))
 
 
 def warp_similarity_homography(
@@ -143,4 +140,5 @@ def warp_similarity_homography(
         small = slide_smalls[slide_id][::stride, ::stride]
         return compute_similarity(warped, small, channels=1)
 
-    return jax.vmap(one)(transforms.h, cand_slide_ids)
+    return jax.lax.map(lambda args: one(args[0], args[1]),
+                       (transforms.h, cand_slide_ids))
