@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
 
 import numpy as np
@@ -27,7 +28,7 @@ def synthesize(n_slides: int, slide_hw, frame_hw, batch: int, seed: int = 0):
 
     rng = np.random.RandomState(seed)
     sh, sw = slide_hw
-    slides = np.zeros((n_slides, sh, sw), np.float32)
+    slides = np.zeros((n_slides, sh, sw), np.uint8)
     for s in range(n_slides):
         img = np.full((sh, sw), 255, np.uint8)
         cv2.rectangle(img, (30, 20), (sw - 30, 80), 40, -1)
@@ -42,14 +43,122 @@ def synthesize(n_slides: int, slide_hw, frame_hw, batch: int, seed: int = 0):
                         (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.9, int(rng.randint(0, 100)), 2)
         slides[s] = img
     fh, fw = frame_hw
-    frames = np.zeros((batch, fh, fw), np.float32)
+    frames = np.zeros((batch, fh, fw), np.uint8)
     for b in range(batch):
         s = rng.randint(n_slides)
         m = cv2.getRotationMatrix2D((sw / 2, sh / 2), rng.uniform(-3, 3), rng.uniform(0.9, 1.0))
         m[:, 2] += [rng.uniform(-20, 20), rng.uniform(-15, 15)]
         f = cv2.warpAffine(slides[s], m, (fw, fh), borderValue=40)
-        frames[b] = f + rng.randn(fh, fw) * 2
+        frames[b] = np.clip(
+            f.astype(np.float32) + rng.randn(fh, fw) * 2, 0, 255
+        ).astype(np.uint8)
     return slides, frames
+
+
+def make_video(path, slides, minutes: float, fps: float = 30.0, seed: int = 1):
+    """Synthesize a lecture-style 1080p video: each slide shown ~20 s with
+    slight affine motion + noise, occasional no-slide (noise) segments."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    h, w = slides.shape[1], slides.shape[2]
+    vw = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h), isColor=False
+    )
+    total = int(minutes * 60 * fps)
+    seg_len = int(20 * fps)
+    t = 0
+    while t < total:
+        if rng.rand() < 0.1:
+            for _ in range(min(seg_len // 2, total - t)):
+                vw.write(rng.randint(0, 255, (h, w), np.uint8))
+                t += 1
+            continue
+        s = rng.randint(slides.shape[0])
+        m = cv2.getRotationMatrix2D(
+            (w / 2, h / 2), rng.uniform(-2, 2), rng.uniform(0.92, 1.0)
+        )
+        m[:, 2] += [rng.uniform(-15, 15), rng.uniform(-10, 10)]
+        base = cv2.warpAffine(slides[s], m, (w, h), borderValue=40)
+        for _ in range(min(seg_len, total - t)):
+            noise = rng.randn(h, w) * 1.5
+            vw.write(np.clip(base.astype(np.float32) + noise, 0, 255).astype(np.uint8))
+            t += 1
+    vw.release()
+
+
+def run_e2e(args, cfg):
+    """Wall-clock benchmark of the REAL pipeline on a synthetic lecture:
+    decode -> dedup -> match -> results, exactly as `sync` drives it."""
+    import tempfile
+    from pathlib import Path
+
+    import cv2
+    import jax
+
+    from slideo_tpu.app.pipeline import MatchingEngine
+    from slideo_tpu.io.video import open_video_info
+
+    slide_hw = tuple(args.slide_hw)
+    slides, _ = synthesize(args.slides, slide_hw, slide_hw, 0)
+    work = Path(tempfile.gettempdir()) / (
+        f"slideo-bench-e2e-{args.slides}s-{args.video_min}m-"
+        f"{slide_hw[0]}x{slide_hw[1]}"
+    )
+    work.mkdir(parents=True, exist_ok=True)
+    video = work / "lecture.mp4"
+    if not video.exists():
+        t0 = time.time()
+        make_video(video, slides, args.video_min)
+        print(f"synthesized {args.video_min} min video in {time.time()-t0:.0f}s",
+              file=sys.stderr)
+    pages_dir = work / "pages"
+    if not pages_dir.exists():
+        pages_dir.mkdir()
+        for i in range(args.slides):
+            cv2.imwrite(str(pages_dir / f"p-{i+1}.png"), slides[i])
+
+    from slideo_tpu.app.pipeline import PdfPage
+
+    pages = [
+        PdfPage(work / "deck.pdf", "e2e" + "0" * 61, pages_dir / f"p-{i+1}.png", i + 1)
+        for i in range(args.slides)
+    ]
+    t0 = time.time()
+    engine = MatchingEngine(cfg, pages)
+    t_index = time.time() - t0
+
+    info = open_video_info(video)
+    t0 = time.time()
+    matchings = engine.match_video(video)
+    t_video = time.time() - t0
+    sampled = info.frames_to_process(cfg.video.interval_s)
+    video_s = info.total_time_s
+    matched = sum(1 for m in matchings if m.page is not None)
+    result = {
+        "metric": "e2e wall-clock sampled frames/s (decode+dedup+match)",
+        "value": round(sampled / t_video, 2),
+        "unit": "frames/s",
+        "vs_baseline": round((video_s / t_video) * 60 / 3600, 4),
+    }
+    print(json.dumps(result))
+    print(
+        json.dumps(
+            {
+                "video_min": round(video_s / 60, 2),
+                "wall_s": round(t_video, 1),
+                "speedup_vs_realtime": round(video_s / t_video, 1),
+                "projected_1h_video_s": round(3600 / (video_s / t_video), 1),
+                "index_build_s": round(t_index, 2),
+                "sampled_frames": sampled,
+                "timeline_rows": len(matchings),
+                "matched_rows": matched,
+                "decode_mode": cfg.video.decode_mode,
+                "device": str(jax.devices()[0]),
+            }
+        ),
+        file=sys.stderr,
+    )
 
 
 def main():
@@ -60,6 +169,11 @@ def main():
     ap.add_argument("--frame-hw", type=int, nargs=2, default=(1080, 1920))
     ap.add_argument("--slide-hw", type=int, nargs=2, default=(1080, 1920))
     ap.add_argument("--platform", default=None, help="jax platform override")
+    ap.add_argument("--e2e", action="store_true",
+                    help="wall-clock pipeline benchmark on a synthetic lecture")
+    ap.add_argument("--video-min", type=float, default=10.0,
+                    help="synthetic video length for --e2e (minutes)")
+    ap.add_argument("--decode-mode", choices=["grab", "seek"], default=None)
     args = ap.parse_args()
 
     import jax
@@ -72,6 +186,14 @@ def main():
     from slideo_tpu.models import orb_matcher
 
     cfg = DEFAULT_CONFIG
+    if args.decode_mode:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, video=dataclasses.replace(cfg.video, decode_mode=args.decode_mode)
+        )
+    if args.e2e:
+        return run_e2e(args, cfg)
     slide_hw = tuple(args.slide_hw)
     frame_hw = tuple(args.frame_hw)
     # One distinct batch per timed iteration: the remote runtime caches
@@ -80,9 +202,11 @@ def main():
         args.slides, slide_hw, frame_hw, args.batch * (args.iters + 1)
     )
 
+    from slideo_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     t0 = time.time()
-    build = jax.jit(lambda s: orb_matcher.build_slide_index(s, cfg))
-    index = jax.block_until_ready(build(jnp.asarray(slides)))
+    index = orb_matcher.build_slide_index_chunked(slides, cfg)
     t_index = time.time() - t0
 
     match = orb_matcher.jit_match_frames(slide_hw, cfg)

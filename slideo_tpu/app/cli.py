@@ -160,7 +160,20 @@ def main(argv: list[str] | None = None) -> int:
             print(tracer.summary())
 
     if not args.non_interactive and not args.no_server and len(pdfs) == 1:
-        start_server(pdfs[0].hash, db.path, args.port)
+        # Viewer-only flow (`slideo lecture.pdf`): the reference's viewer
+        # renders the raw PDF client-side (web.rs:54-67), so it works without
+        # any prior processing; the server-rendered equivalent extracts pages
+        # up front here (cached; near-instant when already extracted). The
+        # server also extracts lazily for drag&dropped known PDFs.
+        from ..io.pdf import have_poppler
+
+        pdf = pdfs[0]
+        rec = db.get_pdf_extracted_pages_dir(pdf.hash)
+        if (rec is None or not rec.finished) and have_poppler():
+            bar = TerminalProgress()
+            pdfs_to_images([(pdf.path, pdf.hash)], db, bar.get_reporter())
+            bar.finish()
+        start_server(pdf.hash, db.path, args.port)
     return 0
 
 

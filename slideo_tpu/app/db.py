@@ -219,6 +219,37 @@ class Db:
                     (video_id, video_ms, pdf_hash, page_idx if page_idx is not None else 0),
                 )
 
+    def finalize_video_matchings(
+        self, video_hash: str, matchings: list[tuple[int, str | None, int | None]]
+    ) -> None:
+        """Write the final timeline, mark finished, and clear the partial
+        checkpoint rows — all in ONE transaction, so a crash can never leave
+        a finished video with stale partial rows that a later resume would
+        serve (the two-step version had exactly that window)."""
+        with self.conn:
+            row = self.conn.execute(
+                "SELECT id FROM videos WHERE video_hash = ?", (video_hash,)
+            ).fetchone()
+            if row is None:
+                raise KeyError(f"video {video_hash} not registered")
+            video_id = row[0]
+            self.conn.execute(
+                "UPDATE videos SET finished = 1 WHERE id = ?", (video_id,)
+            )
+            for video_ms, pdf_hash, page_idx in matchings:
+                self.conn.execute(
+                    "INSERT INTO videos_mapping(video_id, video_ms, pdf_hash, page)"
+                    " VALUES (?, ?, ?, ?)",
+                    (video_id, video_ms, pdf_hash,
+                     page_idx if page_idx is not None else 0),
+                )
+            self.conn.execute(
+                "DELETE FROM videos_mapping_partial WHERE video_id = ?", (video_id,)
+            )
+            self.conn.execute(
+                "DELETE FROM videos_progress WHERE video_id = ?", (video_id,)
+            )
+
     # -- per-chunk checkpointing (framework extension) ---------------------------
 
     def _video_id(self, video_hash: str) -> int:

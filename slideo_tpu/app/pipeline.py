@@ -106,11 +106,13 @@ def pdfs_to_images(
 
 
 def _load_page_grays(pages: list[PdfPage]) -> tuple[np.ndarray, tuple[int, int]]:
-    """Load pages as grayscale and letterbox into one [S, H, W] batch.
+    """Load pages as grayscale and letterbox into one [S, H, W] uint8 batch.
 
     Pages of different PDFs may differ in size; matching is content-based so
     letterboxing (top-left anchored, zero fill) is transparent to the
-    algorithm — keypoint coordinates stay valid.
+    algorithm — keypoint coordinates stay valid. uint8 keeps host->device
+    transfers 4x smaller than float32 (device programs cast on entry); the
+    reference's Mats are uint8 throughout too.
     """
     grays = []
     for p in pages:
@@ -118,13 +120,88 @@ def _load_page_grays(pages: list[PdfPage]) -> tuple[np.ndarray, tuple[int, int]]
         img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
         if img is None:
             raise IOError(f"Could not read file '{path}'")
-        grays.append(img.astype(np.float32))
+        grays.append(img)
     h = max(g.shape[0] for g in grays)
     w = max(g.shape[1] for g in grays)
-    batch = np.zeros((len(grays), h, w), np.float32)
+    batch = np.zeros((len(grays), h, w), np.uint8)
     for i, g in enumerate(grays):
         batch[i, : g.shape[0], : g.shape[1]] = g
     return batch, (h, w)
+
+
+# Bump when any change invalidates persisted slide indexes (descriptor
+# pattern, feature pipeline, packing layout, ...).
+_INDEX_FORMAT_VERSION = 1
+
+
+def _index_cache_key(pages: list[PdfPage], cfg) -> str:
+    """Content key of a persisted slide index: page image bytes + config.
+
+    The letterbox size is a pure function of the page images, so it doesn't
+    need to be part of the key (it is stored in the archive).
+    """
+    from .hashing import hash_files, hash_str
+
+    paths = [p.get_path() if hasattr(p, "get_path") else p.image_path for p in pages]
+    parts = [
+        f"v{_INDEX_FORMAT_VERSION}",
+        cfg.engine,
+        repr(cfg.orb),
+        str(cfg.video.small_image_area),
+        *hash_files(paths),
+    ]
+    return hash_str("|".join(parts))
+
+
+def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
+    """Persist a built SlideIndex (descriptors packed to bits: ~32 MB for a
+    500-slide deck vs 262 MB raw). Crash-safe: write + atomic rename."""
+    target = get_temp_path_key("index", key)
+    target.mkdir(parents=True, exist_ok=True)
+    di = index.desc_index
+    s, k, _ = index.pts.shape
+    desc = np.asarray(di.desc).reshape(s, k, -1)
+    packed = np.packbits((desc > 0).astype(np.uint8), axis=-1)
+    tmp = target / "index.npz.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            desc_bits=packed,
+            valid=np.packbits(np.asarray(di.valid).reshape(s, k), axis=-1),
+            pts=np.asarray(index.pts),
+            smalls=np.asarray(index.smalls),
+            slide_hw=np.asarray(slide_hw, np.int32),
+            k_per_slide=np.asarray([k], np.int32),
+        )
+    tmp.replace(target / "index.npz")
+
+
+def _load_orb_index(key: str):
+    """Load a persisted SlideIndex; returns (SlideIndex, slide_hw) or None."""
+    from ..models import orb_matcher
+    from ..ops import hamming
+
+    path = get_temp_path_key("index", key) / "index.npz"
+    if not path.exists():
+        return None
+    try:
+        with np.load(path) as z:
+            s, k = z["desc_bits"].shape[0], int(z["k_per_slide"][0])
+            bits = np.unpackbits(z["desc_bits"], axis=-1)
+            desc = (bits.astype(np.int8) * 2 - 1).reshape(s * k, -1)
+            valid = np.unpackbits(z["valid"], axis=-1)[:, :k].astype(bool)
+            index = jax.jit(hamming.build_index)(
+                jnp.asarray(desc.reshape(s, k, -1)), jnp.asarray(valid)
+            )
+            result = orb_matcher.SlideIndex(
+                desc_index=index,
+                pts=jnp.asarray(z["pts"]),
+                smalls=jnp.asarray(z["smalls"]),
+            )
+            slide_hw = tuple(int(v) for v in z["slide_hw"])
+            return jax.block_until_ready(result), slide_hw
+    except Exception:
+        return None
 
 
 class MatchingEngine:
@@ -135,30 +212,99 @@ class MatchingEngine:
     by all streams, so no per-thread state is needed.
     """
 
+    # Slides per index-build chunk: bounds device memory + per-program compile
+    # size and lets chunk upload overlap the previous chunk's compute.
+    _BUILD_CHUNK = 32
+
     def __init__(self, cfg: SlideoConfig, pages: list[PdfPage]):
+        from ..utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.cfg = cfg
         self.pages = pages
-        grays, self.slide_hw = _load_page_grays(pages)
-        if cfg.engine == "sift":
-            build = jax.jit(partial(sift_matcher.build_slide_index_sift, cfg=cfg))
-        else:
-            build = jax.jit(partial(orb_matcher.build_slide_index, cfg=cfg))
-        self.index = jax.block_until_ready(build(jnp.asarray(grays)))
         self._match = None
         self._dedup = None
         self._frame_hw: tuple[int, int] | None = None
+
+        if cfg.engine == "orb":
+            key = _index_cache_key(pages, cfg)
+            cached = _load_orb_index(key)
+            if cached is not None:
+                self.index, self.slide_hw = cached
+                return
+            grays, self.slide_hw = _load_page_grays(pages)
+            self.index = self._build_orb_index(grays)
+            try:
+                _save_orb_index(key, self.index, self.slide_hw)
+            except OSError:
+                pass  # persistence is best-effort; the in-memory index stands
+        else:
+            grays, self.slide_hw = _load_page_grays(pages)
+            build = jax.jit(partial(sift_matcher.build_slide_index_sift, cfg=cfg))
+            self.index = jax.block_until_ready(build(jnp.asarray(grays)))
+
+    def _build_orb_index(self, grays: np.ndarray) -> "orb_matcher.SlideIndex":
+        return orb_matcher.build_slide_index_chunked(
+            grays, self.cfg, chunk=self._BUILD_CHUNK
+        )
+
+    def _mesh(self):
+        """Frame-data-parallel device mesh, when the runtime has >1 device.
+
+        This is the production scale-out path (SURVEY.md §2.8): the slide
+        index is replicated over the mesh, each device matches its shard of
+        every frame batch (reference analogue: the rayon frame pool,
+        lib.rs:174-221). Disable with SLIDEO_MESH=off.
+        """
+        import os
+
+        if os.environ.get("SLIDEO_MESH", "auto") == "off":
+            return None
+        if jax.device_count() <= 1 or self.cfg.engine != "orb":
+            return None
+        from ..parallel import mesh as mesh_mod
+
+        return mesh_mod.make_mesh()
+
+    @property
+    def device_batch(self) -> int:
+        """Dispatch batch size: the configured batch rounded up to a multiple
+        of the mesh size (shard_map needs the frame axis divisible by it).
+        Batching/checkpoint cadence keeps the configured size; dispatch pads."""
+        bs = self.cfg.video.batch_size
+        mesh = self._mesh()
+        if mesh is not None:
+            n = mesh.devices.size
+            bs = -(-bs // n) * n
+        return bs
 
     def _compile_for_frames(self, frame_hw: tuple[int, int]) -> None:
         if self._frame_hw == frame_hw:
             return
         self._frame_hw = frame_hw
         cfg = self.cfg
+        mesh = self._mesh()
         if cfg.engine == "sift":
             _match_jit = jax.jit(
                 partial(
                     sift_matcher.match_frames_sift,
                     slide_hw=self.slide_hw, cfg=cfg,
                 )
+            )
+        elif mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import mesh as mesh_mod
+
+            # Replicate the index across the mesh once (device_put moves it;
+            # afterwards every batch shards only the frames).
+            self.index = jax.device_put(self.index, NamedSharding(mesh, P()))
+            _match_jit = jax.jit(
+                partial(
+                    mesh_mod.match_frames_sharded,
+                    mesh, slide_hw=self.slide_hw, cfg=cfg,
+                ),
+                static_argnames=(),
             )
         else:
             _match_jit = orb_matcher.jit_match_frames(self.slide_hw, cfg)
@@ -220,6 +366,7 @@ class MatchingEngine:
 
         batch: list = []
         pending: list = []  # changed frames awaiting a match batch
+        inflight: list = []  # (chunk, device FrameMatch) awaiting host fetch
         prev_small = None
         processed = 0
         bs = cfg.video.batch_size
@@ -231,8 +378,10 @@ class MatchingEngine:
             if checkpoint is None:
                 return
             # A frame is "decided" once deduped and (if changed) matched;
-            # frames still in `pending` gate the checkpoint frontier.
-            frontier = pending[0].frame_idx - 1 if pending else last_deduped
+            # frames still pending or in flight gate the checkpoint frontier.
+            gates = [p.frame_idx for p in pending[:1]]
+            gates += [c[0][0].frame_idx for c in inflight[:1]]
+            frontier = min(gates) - 1 if gates else last_deduped
             new_rows = [
                 (
                     m.video_frame_idx,
@@ -246,17 +395,13 @@ class MatchingEngine:
             ckpt_cursor = len(results)
             checkpoint(new_rows, frontier)
 
-        def flush_matches(force: bool = False):
-            nonlocal pending
-            while pending and (len(pending) >= bs or force):
-                chunk, pending = pending[:bs], pending[bs:]
-                n = len(chunk)
-                frames_np = np.stack([c.gray for c in chunk + [chunk[-1]] * (bs - n)])
-                seeds = np.array(
-                    [c.frame_idx for c in chunk] + [0] * (bs - n), np.int32
-                )
-                with tracer.stage("match"):
-                    res = self._match(jnp.asarray(frames_np), jnp.asarray(seeds))
+        def resolve_inflight(keep: int = 0):
+            # Fetch completed device results; keep the newest `keep` batches
+            # in flight so device compute overlaps decode + dedup of the
+            # following frames (jax dispatch is async until the host fetch).
+            while len(inflight) > keep:
+                chunk, res = inflight.pop(0)
+                with tracer.stage("match.fetch"):
                     slides = np.asarray(res.slide)
                 for i, sf in enumerate(chunk):
                     page = self.pages[slides[i]] if slides[i] >= 0 else None
@@ -267,6 +412,25 @@ class MatchingEngine:
                             page=page,
                         )
                     )
+
+        def flush_matches(force: bool = False):
+            nonlocal pending
+            dbs = self.device_batch
+            while pending and (len(pending) >= bs or force):
+                chunk, pending = pending[:bs], pending[bs:]
+                n = len(chunk)
+                frames_np = np.stack(
+                    [c.gray for c in chunk + [chunk[-1]] * (dbs - n)]
+                )
+                seeds = np.array(
+                    [c.frame_idx for c in chunk] + [0] * (dbs - n), np.int32
+                )
+                with tracer.stage("match.dispatch"):
+                    res = self._match(jnp.asarray(frames_np), jnp.asarray(seeds))
+                inflight.append((chunk[:n], res))
+                resolve_inflight(keep=1)
+            if force:
+                resolve_inflight(keep=0)
 
         def flush_dedup(force: bool = False):
             nonlocal batch, prev_small, processed, last_deduped
@@ -366,8 +530,7 @@ def sync(
             )
             for m in matchings
         ]
-        db.update_video_matchings(video_hash, rows)
-        db.clear_partial_matchings(video_hash)
+        db.finalize_video_matchings(video_hash, rows)
 
 
 class _VideoMatcherTask:

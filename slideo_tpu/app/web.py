@@ -42,12 +42,17 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet
         pass
 
+    def _cors(self):
+        # The reference applies CORS middleware to EVERY route (web.rs:110),
+        # so the dev webview on :8080 can fetch files as well as JSON.
+        self.send_header("Access-Control-Allow-Origin", "http://127.0.0.1:8080")
+
     def _json(self, obj, code=200):
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
-        self.send_header("Access-Control-Allow-Origin", "http://127.0.0.1:8080")
+        self._cors()
         self.end_headers()
         self.wfile.write(body)
 
@@ -56,6 +61,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "text/plain")
         self.send_header("Content-Length", str(len(body)))
+        self._cors()
         self.end_headers()
         self.wfile.write(body)
 
@@ -90,6 +96,7 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Accept-Ranges", "bytes")
+        self._cors()
         self.send_header("Content-Length", str(length))
         if code == 206:
             self.send_header("Content-Range", f"bytes {start}-{end}/{size}")
@@ -107,6 +114,24 @@ class _Handler(BaseHTTPRequestHandler):
             pass
         finally:
             f.close()
+
+    @staticmethod
+    def _extract_on_demand(db: Db, pdf_hash: str):
+        """Extract a known-but-unextracted PDF's pages (lazy viewer path)."""
+        from ..io.pdf import have_poppler
+        from .pipeline import pdfs_to_images
+
+        pdf_path = db.get_path(pdf_hash)
+        if pdf_path is None or not pdf_path.exists() or not have_poppler():
+            return None
+        try:
+            pdfs_to_images([(pdf_path, pdf_hash)], db)
+        except Exception:
+            return None
+        rec = db.get_pdf_extracted_pages_dir(pdf_hash)
+        if rec is None or not rec.finished or not rec.dir.exists():
+            return None
+        return rec
 
     def do_GET(self):  # noqa: N802
         path = self.path.split("?", 1)[0]
@@ -131,7 +156,15 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._error(400, "bad hash")
                 rec = db.get_pdf_extracted_pages_dir(parts[0])
                 if rec is None or not rec.finished or not rec.dir.exists():
-                    return self._error(404, "no extracted pages")
+                    # Viewer-only / drag&drop flow for a never-synced PDF:
+                    # the reference serves the raw PDF and lets pdf.js render
+                    # it (web.rs:54-67, viewer/index.ts:40-76); the
+                    # server-rendered equivalent extracts pages on demand
+                    # through the same two-phase cache, when the hash maps to
+                    # a known file.
+                    rec = self._extract_on_demand(db, parts[0])
+                    if rec is None:
+                        return self._error(404, "no extracted pages")
                 pages = _scan_pages(rec.dir)
                 if len(parts) == 1:
                     return self._json(

@@ -34,6 +34,13 @@ class OrbConfig:
     patch_size: int = 62            # orientation patch diameter
     # TPU-specific (static-shape) knobs: keypoint slots are padded to this.
     max_keypoints: int = 2048       # fixed keypoint slot count (>= n_features)
+    # Frame-side query-count buckets: real lecture frames carry ~200-700
+    # keypoints (reference BACKGROUND.md:11) while everything pads to
+    # max_keypoints. match_frame picks the smallest bucket >= the frame's
+    # valid-keypoint count at runtime (lax.switch), so description + the
+    # [Q, S] match table run at the frame's true size. Exact: a bucket always
+    # covers every valid keypoint. max_keypoints is always the last bucket.
+    query_buckets: tuple[int, ...] = (768,)
     descriptor_bits: int = 256      # rBRIEF descriptor length in bits
     blur_ksize: int = 7             # Gaussian blur before description (OpenCV ORB)
     blur_sigma: float = 2.0
@@ -83,7 +90,10 @@ class MatchConfig:
                                     # 4x fewer gathers, statistically
                                     # indistinguishable similarity)
     # Two-stage screening for large decks (TPU-specific; FLANN-LSH analogue).
-    screen_above_slides: int = 64   # screen when the deck has more slides than this
+    # The fused Pallas match-table kernel makes EXACT matching affordable
+    # through the reference's whole recommended envelope ("<1000 slides",
+    # README.md:41), so screening only engages beyond it.
+    screen_above_slides: int = 1000  # screen when the deck has more slides than this
     screen_slides: int = 64         # candidate slides surviving stage-1 screening
     screen_bits: int = 64           # descriptor prefix bits used for screening
     screen_queries: int = 512       # strongest frame keypoints used for screening

@@ -49,7 +49,11 @@ class VideoInfo:
 
 @dataclass
 class SampledFrame:
-    """One decoded sampled frame. gray is [H, W] float32 (OpenCV BGR weights)."""
+    """One decoded sampled frame. gray is [H, W] uint8 (OpenCV BGR weights).
+
+    uint8 matches the reference's Mats and keeps host->device transfers 4x
+    smaller than float32; device programs cast on entry.
+    """
 
     gray: np.ndarray
     time_s: float
@@ -74,7 +78,7 @@ def open_video_info(path: Path) -> VideoInfo:
 def _to_gray(frame: np.ndarray) -> np.ndarray:
     if frame.ndim == 3:
         frame = cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY)
-    return frame.astype(np.float32)
+    return np.ascontiguousarray(frame)
 
 
 def _sampled_frames_grab(
@@ -102,28 +106,23 @@ def _sampled_frames_grab(
         cap.release()
 
 
-def _decode_chunk(
-    path: Path, indices: list[int], fps: float, out: Queue, order: int
-) -> None:
-    cap = cv2.VideoCapture(str(path))
-    frames = []
-    try:
-        for idx in indices:
-            cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
-            ok, frame = cap.read()
-            if not ok:
-                break
-            frames.append(SampledFrame(_to_gray(frame), idx / fps, idx))
-    finally:
-        cap.release()
-    out.put((order, frames))
+# Per-worker in-flight frame cap in "seek" mode. Total buffered memory is
+# bounded by workers * _SEEK_QUEUE_DEPTH frames (~2 MB each at 1080p), no
+# matter how long the video is.
+_SEEK_QUEUE_DEPTH = 8
 
 
 def _sampled_frames_seek(
     path: Path, interval_s: float, workers: int, start_after_frame: int = -1
 ) -> Iterator[SampledFrame]:
-    """Seek straight to sampled indices, decoding chunks in parallel threads
-    (cv2 releases the GIL inside ffmpeg)."""
+    """Seek straight to sampled indices, decoding in parallel threads (cv2
+    releases the GIL inside ffmpeg) and STREAMING frames in order.
+
+    Indices are dealt round-robin to workers; each worker feeds its own
+    bounded queue and the consumer pops queues in index order, so frames
+    stream with bounded memory (a 30 h video never buffers more than
+    workers * depth frames) and decode overlaps downstream device work.
+    """
     info = open_video_info(path)
     stride = info.sample_stride(interval_s)
     indices = [
@@ -132,26 +131,85 @@ def _sampled_frames_seek(
     if not indices:
         return
     workers = max(1, min(workers, len(indices)))
-    per = (len(indices) + workers - 1) // workers
-    chunks = [indices[i * per : (i + 1) * per] for i in range(workers)]
-    q: Queue = Queue()
+    queues = [Queue(maxsize=_SEEK_QUEUE_DEPTH) for _ in range(workers)]
+    stop = threading.Event()
+
+    def work(w: int) -> None:
+        cap = cv2.VideoCapture(str(path))
+        try:
+            for idx in indices[w::workers]:
+                if stop.is_set():
+                    return
+                cap.set(cv2.CAP_PROP_POS_FRAMES, idx)
+                ok, frame = cap.read()
+                item = (
+                    SampledFrame(_to_gray(frame), idx / info.fps, idx)
+                    if ok
+                    else None
+                )
+                while not stop.is_set():
+                    try:
+                        queues[w].put(item, timeout=0.1)
+                        break
+                    except Exception:
+                        continue
+                if item is None or stop.is_set():
+                    return
+        finally:
+            cap.release()
+
     threads = [
-        threading.Thread(
-            target=_decode_chunk, args=(path, ch, info.fps, q, i), daemon=True
-        )
-        for i, ch in enumerate(chunks)
-        if ch
+        threading.Thread(target=work, args=(w,), daemon=True)
+        for w in range(workers)
     ]
     for t in threads:
         t.start()
-    results: dict[int, list[SampledFrame]] = {}
-    for _ in threads:
-        order, frames = q.get()
-        results[order] = frames
-    for t in threads:
-        t.join()
-    for i in sorted(results):
-        yield from results[i]
+    try:
+        for i in range(len(indices)):
+            item = queues[i % workers].get()
+            if item is None:  # decode failure: treat as end of stream
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+def _prefetched(it: Iterator[SampledFrame], depth: int = 16) -> Iterator[SampledFrame]:
+    """Run an iterator in a background thread with a bounded queue, so host
+    decode overlaps the consumer's device work (double-buffering)."""
+    q: Queue = Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def work() -> None:
+        try:
+            for item in it:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except Exception:
+                        continue
+                if stop.is_set():
+                    return
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(_END, timeout=0.1)
+                    break
+                except Exception:
+                    continue
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 def sampled_frames(
@@ -160,7 +218,9 @@ def sampled_frames(
     mode: str = "grab",
     workers: int = 4,
     start_after_frame: int = -1,
+    prefetch: bool = True,
 ) -> Iterator[SampledFrame]:
     if mode == "seek":
         return _sampled_frames_seek(path, interval_s, workers, start_after_frame)
-    return _sampled_frames_grab(path, interval_s, start_after_frame)
+    it = _sampled_frames_grab(path, interval_s, start_after_frame)
+    return _prefetched(it) if prefetch else it

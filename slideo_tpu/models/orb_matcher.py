@@ -21,7 +21,10 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from ..config import SlideoConfig
+from ..ops import features as features_ops
 from ..ops import hamming, image, ransac, select, verify
 from ..ops.features import Features, extract_features
 
@@ -50,17 +53,67 @@ class FrameMatch(NamedTuple):
 
 
 def build_slide_index(slide_grays: jax.Array, cfg: SlideoConfig) -> SlideIndex:
-    """Extract features + thumbnails for all slides [S, H, W] float32.
+    """Extract features + thumbnails for all slides [S, H, W] (one program).
 
     The reference computes this per slide in a rayon pool (lib.rs:44-56);
-    here it is one lax.map'd device program.
+    here it is one lax.map'd device program. For large decks prefer
+    ``build_slide_index_chunked`` (bounded memory, upload/compute overlap).
     """
     feats: Features = jax.lax.map(
-        lambda im: extract_features(im, cfg.orb), slide_grays
+        lambda im: extract_features(im.astype(jnp.float32), cfg.orb), slide_grays
     )
     index = hamming.build_index(feats.desc, feats.valid)
     smalls = image.to_small_image(slide_grays, cfg.video.small_image_area)
     return SlideIndex(desc_index=index, pts=feats.pts, smalls=smalls)
+
+
+def build_slide_index_chunked(
+    slide_grays, cfg: SlideoConfig, chunk: int = 32
+) -> SlideIndex:
+    """Build the deck index in fixed-size slide chunks (host-side loop).
+
+    slide_grays: [S, H, W] numpy array (uint8 preferred — 4x smaller
+    host->device transfers). Each chunk is one device program; dispatches
+    queue back-to-back so chunk c+1's upload overlaps chunk c's compute, and
+    device memory holds one chunk of full-res pages instead of the deck.
+    """
+    import numpy as _np
+
+    from ..ops.features import extract_features_batch
+
+    s = slide_grays.shape[0]
+    chunk = max(1, min(chunk, s))
+    n_chunks = -(-s // chunk)
+    pad = n_chunks * chunk - s
+    if pad:
+        slide_grays = _np.concatenate(
+            [slide_grays, _np.repeat(slide_grays[-1:], pad, axis=0)]
+        )
+
+    def one_chunk(imgs):
+        feats = extract_features_batch(imgs.astype(jnp.float32), cfg.orb)
+        smalls = image.to_small_image(imgs, cfg.video.small_image_area)
+        return feats, smalls
+
+    fn = jax.jit(one_chunk)
+    outs = [
+        fn(jnp.asarray(slide_grays[c * chunk : (c + 1) * chunk]))
+        for c in range(n_chunks)
+    ]
+    desc = jnp.concatenate([f.desc for f, _ in outs])[:s]
+    valid = jnp.concatenate([f.valid for f, _ in outs])[:s]
+    pts = jnp.concatenate([f.pts for f, _ in outs])[:s]
+    smalls = jnp.concatenate([sm for _, sm in outs])[:s]
+    index = jax.jit(hamming.build_index)(desc, valid)
+    return jax.block_until_ready(
+        SlideIndex(desc_index=index, pts=pts, smalls=smalls)
+    )
+
+
+def _query_buckets(cfg: SlideoConfig) -> tuple[int, ...]:
+    """Ascending static query-size buckets; max_keypoints is always last."""
+    mk = cfg.orb.max_keypoints
+    return tuple(sorted({q for q in cfg.orb.query_buckets if 0 < q < mk})) + (mk,)
 
 
 def match_frame(
@@ -75,15 +128,37 @@ def match_frame(
     frame_seed: int32 scalar making RANSAC deterministic per frame (the
     reference relies on OpenCV's global RNG; we key on the frame identity).
     slide_hw: static full-resolution page size backing ``index.smalls``.
+
+    Description + matching are bucketed by the frame's valid-keypoint count
+    (lax.switch over static Q sizes): only the taken branch executes, so a
+    typical ~500-keypoint lecture frame pays for Q=768 — not max_keypoints —
+    in every per-keypoint stage and in the [Q, S] match table. Results are
+    identical across buckets (a bucket always covers all valid keypoints).
     """
     n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
-    feats = extract_features(frame, cfg.orb)
-    table = hamming.match_table_frame(
-        feats.desc, feats.score, index.desc_index, n_slides, k_per_slide, cfg.match
+    h, w = frame.shape
+    meta = features_ops.pyramid_meta(h, w, cfg.orb)
+    atlas = features_ops.build_pyramid(frame, cfg.orb)
+    kps = features_ops.detect_pyramid(atlas, meta, cfg.orb)
+    buckets = _query_buckets(cfg)
+
+    def run(q: int) -> FrameMatch:
+        feats = features_ops.describe(atlas, meta, kps, q, cfg.orb)
+        table = hamming.match_table_frame(
+            feats.desc, feats.score, index.desc_index, n_slides, k_per_slide,
+            cfg.match,
+        )
+        return cascade_from_table(
+            frame, frame_seed, feats, table, index.pts, index.smalls, slide_hw, cfg
+        )
+
+    if len(buckets) == 1:
+        return run(buckets[0])
+    count = jnp.sum(kps.valid)
+    branch = jnp.searchsorted(
+        jnp.asarray(np.asarray(buckets[:-1], np.int32)), count, side="left"
     )
-    return cascade_from_table(
-        frame, frame_seed, feats, table, index.pts, index.smalls, slide_hw, cfg
-    )
+    return jax.lax.switch(branch, [lambda q=q: run(q) for q in buckets])
 
 
 def cascade_from_table(

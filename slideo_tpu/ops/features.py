@@ -5,10 +5,22 @@ TPU-native equivalent of the reference's FeatureExtractor
 scale_factor=1.2, nlevels=8, edge_threshold=62, fast_threshold=20,
 score_type=FAST_SCORE, patch_size=62).
 
-Everything is fixed-shape: each pyramid level detects exactly its quota of
-keypoints (geometric allocation like OpenCV ORB), invalid slots carry
-valid=False, and the result is padded to ``cfg.max_keypoints`` slots so one
-compiled program serves every image of a given size bucket.
+Structure (round 2): the pipeline is split into three fixed-shape stages so
+the expensive description stage can run on a *compacted* keypoint set:
+
+1. ``build_pyramid``  — successive 5:6 block-periodic downscales packed into
+   one [sum(h_l), W0] **atlas** image (one 2-D array holds every level, each
+   at a static row offset), so later patch extraction is a single 2-D
+   dynamic slice per keypoint regardless of its level.
+2. ``detect_pyramid`` — FAST-score detection per level with geometric
+   quotas; results concatenate into one Keypoints struct with level ids.
+3. ``describe``       — compacts the top-``q`` keypoints by score (q is a
+   static bucket size >= the valid count, so compaction is exact) and runs
+   patch gather + orientation + blur + steered BRIEF only on those q slots.
+
+Real lecture frames carry ~200-700 keypoints (reference BACKGROUND.md:11)
+while slides saturate the 2000 quota; bucketing q removes the 3-10x padding
+waste from every per-keypoint stage and from the [Q, S] match table.
 """
 
 from __future__ import annotations
@@ -17,11 +29,23 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import OrbConfig
 from . import fast, image, orb
 
-__all__ = ["Features", "level_sizes", "extract_features", "extract_features_batch"]
+__all__ = [
+    "Features",
+    "Keypoints",
+    "PyramidMeta",
+    "pyramid_meta",
+    "level_sizes",
+    "build_pyramid",
+    "detect_pyramid",
+    "describe",
+    "extract_features",
+    "extract_features_batch",
+]
 
 
 class Features(NamedTuple):
@@ -39,96 +63,231 @@ class Features(NamedTuple):
     valid: jax.Array
 
 
+class Keypoints(NamedTuple):
+    """Detected (but not yet described) keypoints, concatenated over levels.
+
+    score: [K] float32; y, x: [K] int32 level-local integer coords;
+    level: [K] int32; valid: [K] bool.
+    """
+
+    score: jax.Array
+    y: jax.Array
+    x: jax.Array
+    level: jax.Array
+    valid: jax.Array
+
+
+class PyramidMeta(NamedTuple):
+    """Static (trace-time) pyramid geometry for one image size.
+
+    sizes:   per-level (h, w)
+    offsets: per-level row offset of the level inside the atlas
+    atlas_hw: (sum of level heights, level-0 width)
+    """
+
+    sizes: tuple[tuple[int, int], ...]
+    offsets: tuple[int, ...]
+    atlas_hw: tuple[int, int]
+
+
+def _next_65(n: int) -> int:
+    """Output size of one 5:6 block-periodic downscale (pads n to mult of 6)."""
+    return 5 * ((n + 5) // 6)
+
+
 def level_sizes(h: int, w: int, cfg: OrbConfig) -> list[tuple[int, int]]:
-    """Static pyramid level sizes: round(size / scale_factor**level)."""
-    out = []
-    for lvl in range(cfg.n_levels):
-        s = cfg.scale_factor**lvl
-        out.append((max(int(round(h / s)), 1), max(int(round(w / s)), 1)))
+    """Static pyramid level sizes under successive exact-1.2x downscales."""
+    out = [(h, w)]
+    for _ in range(1, cfg.n_levels):
+        h, w = _next_65(h), _next_65(w)
+        out.append((h, w))
     return out
 
 
-def _extract_level(
-    img_lvl: jax.Array, quota: int, scale: float, cfg: OrbConfig
+def pyramid_meta(h: int, w: int, cfg: OrbConfig) -> PyramidMeta:
+    sizes = tuple(level_sizes(h, w, cfg))
+    offsets = []
+    off = 0
+    for lh, _ in sizes:
+        offsets.append(off)
+        off += lh
+    return PyramidMeta(sizes=sizes, offsets=tuple(offsets), atlas_hw=(off, w))
+
+
+def _pattern_65() -> np.ndarray:
+    """[5, 6] bilinear weights of the exact 6->5 downscale.
+
+    Row r samples src = (r + 0.5) * 1.2 - 0.5 = 1.2*r + 0.1 — always two taps
+    inside the same 6-block, so downscale-by-1.2 is a block-periodic
+    contraction: ~5 flops/pixel instead of a dense [out, in] matmul
+    (which is what `image.resize` lowers to — ~900x more flops at 1080p).
+    """
+    p = np.zeros((5, 6), np.float32)
+    for r in range(5):
+        src = 1.2 * r + 0.1
+        i0 = int(np.floor(src))
+        frac = src - i0
+        p[r, i0] = 1.0 - frac
+        p[r, i0 + 1] = frac
+    return p
+
+
+def resize_65(img: jax.Array) -> jax.Array:
+    """Downscale [H, W] by exactly 1.2x per axis (edge-padded to mult of 6).
+
+    Coordinate convention per step: src = 1.2 * dst + 0.1 (OpenCV's
+    half-pixel INTER_LINEAR mapping), so after l steps
+    level->level0 is the affine map  x0 = 1.2**l * x + (1.2**l - 1) / 2.
+    """
+    p = _pattern_65()
+    h, w = img.shape
+    h6, w6 = 6 * ((h + 5) // 6), 6 * ((w + 5) // 6)
+    x = jnp.pad(img, ((0, h6 - h), (0, w6 - w)), mode="edge")
+    x = x.reshape(h6 // 6, 6, w6)
+    x = jnp.einsum("rj,kjw->krw", p, x, preferred_element_type=jnp.float32)
+    x = x.reshape(h6 // 6 * 5, w6 // 6, 6)
+    x = jnp.einsum("rj,hkj->hkr", p, x, preferred_element_type=jnp.float32)
+    return x.reshape(h6 // 6 * 5, w6 // 6 * 5)
+
+
+def build_pyramid(img: jax.Array, cfg: OrbConfig) -> jax.Array:
+    """Pack all pyramid levels of a [H, W] image into one [Ha, W] atlas.
+
+    Level l occupies rows [offsets[l], offsets[l] + h_l), columns [0, w_l);
+    the rest is zero. Successive level-to-level 1.2x resizes (like OpenCV
+    ORB's pyramid).
+    """
+    h, w = img.shape
+    meta = pyramid_meta(h, w, cfg)
+    atlas = jnp.zeros(meta.atlas_hw, jnp.float32)
+    prev = img.astype(jnp.float32)
+    for lvl, ((lh, lw), off) in enumerate(zip(meta.sizes, meta.offsets)):
+        if lvl > 0:
+            prev = resize_65(prev)
+        atlas = jax.lax.dynamic_update_slice(atlas, prev, (off, 0))
+    return atlas
+
+
+def _level_scales(cfg: OrbConfig) -> np.ndarray:
+    return np.asarray(
+        [cfg.scale_factor**lvl for lvl in range(cfg.n_levels)], np.float32
+    )
+
+
+def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypoints:
+    """FAST keypoints per level (geometric quotas), concatenated.
+
+    Coordinates are level-local; ``describe`` resolves them against the
+    atlas. Quota slots a level cannot fill carry valid=False.
+    """
+    quotas = cfg.per_level_quota
+    parts: list[Keypoints] = []
+    for lvl, ((lh, lw), off, quota) in enumerate(
+        zip(meta.sizes, meta.offsets, quotas)
+    ):
+        if quota <= 0:
+            continue
+        usable = lh > 2 * cfg.edge_threshold and lw > 2 * cfg.edge_threshold
+        if not usable:
+            parts.append(
+                Keypoints(
+                    score=jnp.zeros((quota,), jnp.float32),
+                    y=jnp.zeros((quota,), jnp.int32),
+                    x=jnp.zeros((quota,), jnp.int32),
+                    level=jnp.full((quota,), lvl, jnp.int32),
+                    valid=jnp.zeros((quota,), bool),
+                )
+            )
+            continue
+        img_lvl = jax.lax.dynamic_slice(atlas, (off, 0), (lh, lw))
+        score, ys, xs, valid = fast.detect_keypoints(
+            img_lvl, cfg.fast_threshold, cfg.edge_threshold, quota
+        )
+        parts.append(
+            Keypoints(
+                score=score,
+                y=ys.astype(jnp.int32),
+                x=xs.astype(jnp.int32),
+                level=jnp.full((quota,), lvl, jnp.int32),
+                valid=valid,
+            )
+        )
+    kps = Keypoints(*(jnp.concatenate(f) for f in zip(*parts)))
+    total = kps.score.shape[0]
+    pad = cfg.max_keypoints - total
+    if pad < 0:
+        raise ValueError(f"quota sum {total} exceeds max_keypoints {cfg.max_keypoints}")
+    if pad:
+        kps = Keypoints(
+            score=jnp.pad(kps.score, (0, pad)),
+            y=jnp.pad(kps.y, (0, pad)),
+            x=jnp.pad(kps.x, (0, pad)),
+            level=jnp.pad(kps.level, (0, pad)),
+            valid=jnp.pad(kps.valid, (0, pad)),
+        )
+    return kps
+
+
+def describe(
+    atlas: jax.Array, meta: PyramidMeta, kps: Keypoints, q: int, cfg: OrbConfig
 ) -> Features:
-    score, ys, xs, valid = fast.detect_keypoints(
-        img_lvl, cfg.fast_threshold, cfg.edge_threshold, quota
+    """Descriptors for the strongest ``q`` keypoint slots.
+
+    q is a static bucket size; when q >= the number of valid keypoints the
+    compaction is exact (only padding slots are dropped), so bucketed and
+    full-width paths produce identical match results.
+    """
+    k = kps.score.shape[0]
+    if q < k:
+        key = jnp.where(kps.valid, kps.score, -1.0)
+        _, sel = jax.lax.top_k(key, q)
+        kps = Keypoints(*(jnp.take(f, sel) for f in kps))
+
+    offsets = np.asarray(meta.offsets, np.int32)
+    heights = np.asarray([s[0] for s in meta.sizes], np.int32)
+    widths = np.asarray([s[1] for s in meta.sizes], np.int32)
+    # Atlas-absolute center rows; clamping in extract_patches must stay
+    # inside the keypoint's own level, so pass per-keypoint slice bounds.
+    y_abs = kps.y + jnp.take(jnp.asarray(offsets), kps.level)
+    y_lo = jnp.take(jnp.asarray(offsets), kps.level)
+    y_hi = y_lo + jnp.take(jnp.asarray(heights), kps.level)
+    x_hi = jnp.take(jnp.asarray(widths), kps.level)
+
+    patches = orb.extract_patches(atlas, y_abs, kps.x, y_lo, y_hi, x_hi)
+    cos, sin = orb.orientations(patches)
+    blurred = orb.blur_patches(patches, cfg.blur_ksize, cfg.blur_sigma)
+    desc = orb.descriptors(blurred, cos, sin, cfg.descriptor_bits, cfg.pattern_seed)
+    desc = jnp.where(kps.valid[:, None], desc, jnp.int8(0))
+
+    # Exact level->level0 affine map of the successive 1.2x resizes:
+    # x0 = r*x + (r-1)/2 with r = 1.2**level (see resize_65).
+    r = jnp.take(jnp.asarray(_level_scales(cfg)), kps.level)
+    half = (r - 1.0) * 0.5
+    pts = jnp.stack(
+        [kps.x.astype(jnp.float32) * r + half, kps.y.astype(jnp.float32) * r + half],
+        axis=-1,
     )
-    # One patch gather per keypoint; orientation on the raw patch, then the
-    # description blur applied patch-locally as banded matmuls (OpenCV blurs
-    # the whole level; the difference never reaches the sampled area).
-    raw_patches = orb.extract_patches(img_lvl, ys, xs)
-    cos, sin = orb.orientations(raw_patches)
-    blurred_patches = orb.blur_patches(raw_patches, cfg.blur_ksize, cfg.blur_sigma)
-    desc = orb.descriptors(
-        blurred_patches, cos, sin, cfg.descriptor_bits, cfg.pattern_seed
-    )
-    desc = jnp.where(valid[:, None], desc, jnp.int8(0))
-    pts = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32)], axis=-1)
-    pts = pts * jnp.float32(scale)
-    return Features(pts=pts, desc=desc, score=score, valid=valid)
+    return Features(pts=pts, desc=desc, score=kps.score, valid=kps.valid)
 
 
 def extract_features(img: jax.Array, cfg: OrbConfig) -> Features:
-    """ORB features of a [H, W] float32 grayscale image.
+    """ORB features of a [H, W] float32 grayscale image (full-width path).
 
     Returns Features padded to cfg.max_keypoints slots. Shapes are static for
     a given (H, W); jit per size bucket.
     """
     h, w = img.shape
-    sizes = level_sizes(h, w, cfg)
-    quotas = cfg.per_level_quota
-    per_level = []
-    prev = img
-    for lvl, ((lh, lw), quota) in enumerate(zip(sizes, quotas)):
-        if quota <= 0:
-            continue
-        # Successive level-to-level resize (like OpenCV ORB's pyramid):
-        # cheaper than resizing from level 0 every time and more faithful.
-        img_lvl = prev if lvl == 0 else image.resize(prev, (lh, lw), area=False)
-        prev = img_lvl
-        usable = lh > 2 * cfg.edge_threshold and lw > 2 * cfg.edge_threshold
-        if not usable:
-            # Level too small for the keypoint border; emit empty quota slots.
-            per_level.append(
-                Features(
-                    pts=jnp.zeros((quota, 2), jnp.float32),
-                    desc=jnp.zeros((quota, cfg.descriptor_bits), jnp.int8),
-                    score=jnp.zeros((quota,), jnp.float32),
-                    valid=jnp.zeros((quota,), bool),
-                )
-            )
-            continue
-        per_level.append(
-            _extract_level(img_lvl, quota, cfg.scale_factor**lvl, cfg)
-        )
-    feats = Features(
-        pts=jnp.concatenate([f.pts for f in per_level]),
-        desc=jnp.concatenate([f.desc for f in per_level]),
-        score=jnp.concatenate([f.score for f in per_level]),
-        valid=jnp.concatenate([f.valid for f in per_level]),
-    )
-    total = feats.pts.shape[0]
-    pad = cfg.max_keypoints - total
-    if pad < 0:
-        raise ValueError(
-            f"quota sum {total} exceeds max_keypoints {cfg.max_keypoints}"
-        )
-    if pad:
-        feats = Features(
-            pts=jnp.pad(feats.pts, ((0, pad), (0, 0))),
-            desc=jnp.pad(feats.desc, ((0, pad), (0, 0))),
-            score=jnp.pad(feats.score, ((0, pad),)),
-            valid=jnp.pad(feats.valid, ((0, pad),)),
-        )
-    return feats
+    meta = pyramid_meta(h, w, cfg)
+    atlas = build_pyramid(img, cfg)
+    kps = detect_pyramid(atlas, meta, cfg)
+    return describe(atlas, meta, kps, cfg.max_keypoints, cfg)
 
 
 def extract_features_batch(imgs: jax.Array, cfg: OrbConfig) -> Features:
     """Features for a [B, H, W] batch.
 
     Uses lax.map (sequential over the batch) to keep the FAST stage's
-    [16, H, W] transients from scaling with B; each image already saturates
-    the VPU/MXU at 1080p.
+    transients from scaling with B; each image already saturates the
+    VPU/MXU at 1080p.
     """
     return jax.lax.map(lambda im: extract_features(im, cfg), imgs)

@@ -159,13 +159,38 @@ def match_table(
     chunk_slides: int = 8,
     slide_ids: jax.Array | None = None,
 ) -> MatchTable:
-    """Compute the [Q, S] best-match table by streaming slide chunks.
+    """Compute the [Q, S] best-match table.
 
-    Each scan step is one MXU matmul [Q, D] x [D, c*K] followed by a
-    max/argmax over the K axis; the [Q, c*K] score block never leaves VMEM
-    scale. ~2*Q*D*S*K flops total, no sorts anywhere.
+    On TPU (when shapes are lane-aligned) this uses the fused Pallas kernel
+    (ops/pallas_table.py): one MXU contraction + on-chip max/argmax per
+    slide, no [Q, c*K] score blocks ever reaching HBM. The XLA fallback
+    streams slide chunks through a lax.scan of matmul + max/argmax
+    (several GB of HBM score traffic per 1080p frame — ~4x slower).
+    ~2*Q*D*S*K flops total, no sorts anywhere.
     """
     q, d_bits = query.shape
+    if (
+        jax.default_backend() == "tpu"
+        and d_bits % 128 == 0
+        and k_per_slide % 128 == 0
+        and q >= 8
+    ):
+        from .pallas_table import match_table_scores_pallas
+
+        bias = jnp.where(index.valid, 0.0, -1e6).astype(jnp.float32)
+        best, arg = match_table_scores_pallas(
+            query.astype(jnp.float32), index.desc, bias, n_slides, k_per_slide
+        )
+        svalid = jnp.any(index.valid.reshape(n_slides, k_per_slide), axis=1)
+        dist = (d_bits - best).astype(jnp.float32) * 0.5
+        if slide_ids is None:
+            slide_ids = jnp.arange(n_slides, dtype=jnp.int32)
+        return MatchTable(
+            dist=dist,
+            train=arg,
+            slide_ids=slide_ids,
+            valid=jnp.broadcast_to(svalid[None, :], (q, n_slides)),
+        )
     chunk_slides = max(1, min(chunk_slides, n_slides))
     pad_s = (-n_slides) % chunk_slides
     desc = index.desc.reshape(n_slides, k_per_slide, d_bits)

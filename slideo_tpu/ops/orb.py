@@ -61,18 +61,37 @@ def _disc_mask(radius: int = HALF_PATCH) -> np.ndarray:
     return (ys * ys + xs * xs <= radius * radius).astype(np.float32)
 
 
-def extract_patches(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
+def extract_patches(
+    img: jax.Array,
+    ys: jax.Array,
+    xs: jax.Array,
+    y_lo: jax.Array | None = None,
+    y_hi: jax.Array | None = None,
+    x_hi: jax.Array | None = None,
+) -> jax.Array:
     """Extract [K, PATCH, PATCH] patches centered at integer (ys, xs).
 
-    Centers are assumed >= HALF_PATCH from every edge (the detector's border
-    guarantee); invalid (padded) keypoints at (0,0) clamp harmlessly.
+    Centers are assumed >= HALF_PATCH from every edge (the detector's
+    edge_threshold=62 border guarantee, > HALF_PATCH); invalid (padded)
+    keypoints clamp harmlessly.  When ``img`` is a pyramid *atlas* (levels
+    stacked at row offsets), the optional per-keypoint bounds keep padded
+    slots' slices inside their own level — valid keypoints never need the
+    clamp.
     """
-    def one(y, x):
-        y0 = jnp.clip(y - HALF_PATCH, 0, img.shape[0] - PATCH)
-        x0 = jnp.clip(x - HALF_PATCH, 0, img.shape[1] - PATCH)
+    h, w = img.shape
+    if y_lo is None:
+        y_lo = jnp.zeros_like(ys)
+    if y_hi is None:
+        y_hi = jnp.full_like(ys, h)
+    if x_hi is None:
+        x_hi = jnp.full_like(xs, w)
+
+    def one(y, x, ylo, yhi, xhi):
+        y0 = jnp.clip(y - HALF_PATCH, ylo, jnp.maximum(yhi - PATCH, ylo))
+        x0 = jnp.clip(x - HALF_PATCH, 0, jnp.maximum(xhi - PATCH, 0))
         return jax.lax.dynamic_slice(img, (y0, x0), (PATCH, PATCH))
 
-    return jax.vmap(one)(ys, xs)
+    return jax.vmap(one)(ys, xs, y_lo, y_hi, x_hi)
 
 
 def orientations(patches: jax.Array) -> tuple[jax.Array, jax.Array]:

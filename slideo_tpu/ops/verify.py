@@ -24,22 +24,43 @@ from .ransac import Similarity
 __all__ = ["warp_similarity"]
 
 
-def _bilinear_image(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+def _bilinear_image(
+    img: jax.Array, x: jax.Array, y: jax.Array, chunk: int = 2048
+) -> jax.Array:
     """Bilinear sample [H, W] image at float coords; out-of-bounds -> 0.
 
     Gather-free: bilinear taps are densified into tent-weight matrices so the
     sampling runs as one MXU contraction plus a row-weighted sum (the same
     trick as ops/orb.sample_patches — per-element gathers are pathologically
     slow on TPU). value_n = rowsum((Ry @ img) * Cx) with Ry [N, H], Cx [N, W].
+
+    Sampling is scanned in ``chunk``-point blocks so the [chunk, W] row
+    profiles stay at VMEM scale (one [N, W] block for a dense 120k-point
+    verification grid is ~220 MB of HBM round-trips per candidate).
     """
     h, w = img.shape
     inb = (x >= 0) & (x <= w - 1) & (y >= 0) & (y <= h - 1)
+    n = x.shape[0]
     grid_y = jnp.arange(h, dtype=jnp.float32)
     grid_x = jnp.arange(w, dtype=jnp.float32)
-    ry = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.clip(y, 0.0, h - 1.0)[:, None] - grid_y))
-    cx = jnp.maximum(0.0, 1.0 - jnp.abs(jnp.clip(x, 0.0, w - 1.0)[:, None] - grid_x))
-    rows = jnp.einsum("nh,hw->nw", ry, img, preferred_element_type=jnp.float32)
-    val = jnp.sum(rows * cx, axis=-1)
+
+    def sample(xc, yc):
+        ry = jnp.maximum(
+            0.0, 1.0 - jnp.abs(jnp.clip(yc, 0.0, h - 1.0)[:, None] - grid_y)
+        )
+        cx = jnp.maximum(
+            0.0, 1.0 - jnp.abs(jnp.clip(xc, 0.0, w - 1.0)[:, None] - grid_x)
+        )
+        rows = jnp.einsum("nh,hw->nw", ry, img, preferred_element_type=jnp.float32)
+        return jnp.sum(rows * cx, axis=-1)
+
+    if n <= chunk:
+        val = sample(x, y)
+    else:
+        pad = (-n) % chunk
+        xp = jnp.pad(x, (0, pad)).reshape(-1, chunk)
+        yp = jnp.pad(y, (0, pad)).reshape(-1, chunk)
+        val = jax.lax.map(lambda args: sample(*args), (xp, yp)).reshape(-1)[:n]
     return jnp.where(inb, val, 0.0)
 
 

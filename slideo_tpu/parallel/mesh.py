@@ -99,22 +99,27 @@ def match_frames_sharded(
     slide_hw: tuple[int, int],
     cfg: SlideoConfig,
 ) -> orb_matcher.FrameMatch:
-    """Frame-data-parallel matching over a 1-D mesh.
+    """Frame-data-parallel matching over a 1-D mesh (the production multi-
+    chip path — MatchingEngine picks it automatically when the runtime has
+    more than one device; reference analogue: the rayon frame pool,
+    lib.rs:174-221).
 
-    frames: [B, H, W] with B divisible by the mesh size. The index is
-    replicated; each device runs the full per-frame program on its shard.
+    frames: [B, H, W] with B divisible by the mesh size. The index is passed
+    as a replicated argument (never closed over: closed-over device arrays
+    are embedded as jit constants); each device runs the full per-frame
+    program on its shard.
     """
     axis = mesh.axis_names[0]
     fn = jax.shard_map(
-        partial(
-            orb_matcher.match_frames, index=index, slide_hw=slide_hw, cfg=cfg
+        lambda fr, seeds, idx: orb_matcher.match_frames(
+            fr, seeds, idx, slide_hw, cfg
         ),
         mesh=mesh,
-        in_specs=(P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P()),
         out_specs=P(axis),
         check_vma=False,
     )
-    return fn(frames, frame_seeds)
+    return fn(frames, frame_seeds, index)
 
 
 def shard_index(

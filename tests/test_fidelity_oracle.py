@@ -1,0 +1,194 @@
+"""End-to-end fidelity oracle: the reference algorithm in ~100 lines of cv2.
+
+Replicates crates/matching-opencv/src/lib.rs:249-414 exactly (ORB features,
+kNN k=30, 5% ratio filter, group-by-slide top-40, estimateAffinePartial2D
+RANSAC rating cascade, inverse-warp L2 similarity, winner), then asserts the
+TPU engine produces the same frame->page assignments on a synthetic lecture.
+
+Our descriptors are not bit-exact OpenCV (SURVEY.md §7 "Hard parts"), so the
+bar is *assignment* parity — the quantity the product stores — not match
+parity. Also A/Bs the screened (large-deck) path against the exact table:
+those two must agree exactly, since both are our own implementation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slideo_tpu.config import DEFAULT_CONFIG
+from slideo_tpu.models import orb_matcher
+
+
+def _deck_and_frames(rng, n_slides=24, hw=(540, 960), n_frames=12):
+    """Text-like slides + affine-perturbed frames (some matching none)."""
+    h, w = hw
+    slides = np.zeros((n_slides, h, w), np.uint8)
+    for s in range(n_slides):
+        img = np.full((h, w), 255, np.uint8)
+        cv2.rectangle(img, (20, 12), (w - 20, 52), 40, -1)
+        cv2.putText(img, f"Lecture {s}", (28, 42), cv2.FONT_HERSHEY_SIMPLEX,
+                    1.0, 255, 2)
+        for _ in range(30):
+            y, x = rng.randint(70, h - 40), rng.randint(25, w - 120)
+            ww, hh = rng.randint(30, 110), rng.randint(6, 16)
+            cv2.rectangle(img, (x, y), (x + ww, y + hh), int(rng.randint(0, 120)), -1)
+        for _ in range(5):
+            y, x = rng.randint(90, h - 25), rng.randint(25, w - 300)
+            cv2.putText(img, f"item {rng.randint(999)} value {rng.randint(999)}",
+                        (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.6,
+                        int(rng.randint(0, 100)), 1)
+        slides[s] = img
+    frames, truth = [], []
+    for f in range(n_frames):
+        if f % 6 == 5:  # a no-slide (noise) frame
+            frames.append(rng.randint(0, 255, (h, w)).astype(np.uint8))
+            truth.append(-1)
+            continue
+        s = rng.randint(n_slides)
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), rng.uniform(-2, 2),
+                                    rng.uniform(0.93, 1.0))
+        m[:, 2] += [rng.uniform(-12, 12), rng.uniform(-8, 8)]
+        fr = cv2.warpAffine(slides[s], m, (w, h), borderValue=40)
+        fr = np.clip(fr.astype(np.float32) + rng.randn(h, w) * 1.5, 0, 255)
+        frames.append(fr.astype(np.uint8))
+        truth.append(s)
+    return slides, frames, truth
+
+
+def _cv2_reference_assignment(slides, frame, cfg):
+    """lib.rs:249-414 with OpenCV, returning the winning slide index or -1."""
+    orb = cv2.ORB_create(
+        nfeatures=cfg.orb.n_features, scaleFactor=cfg.orb.scale_factor,
+        nlevels=cfg.orb.n_levels, edgeThreshold=cfg.orb.edge_threshold,
+        firstLevel=0, WTA_K=2, scoreType=cv2.ORB_FAST_SCORE,
+        patchSize=cfg.orb.patch_size, fastThreshold=cfg.orb.fast_threshold,
+    )
+    slide_feats = [orb.detectAndCompute(s, None) for s in slides]
+    fkp, fdesc = orb.detectAndCompute(frame, None)
+    if fdesc is None:
+        return -1
+    # FLANN-LSH replaced by exact BF Hamming kNN (strictly better recall;
+    # same downstream semantics).
+    matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+    per_slide: dict[int, list] = {}
+    all_matches = []
+    for si, (kp, desc) in enumerate(slide_feats):
+        if desc is None:
+            continue
+        for mlist in matcher.knnMatch(fdesc, desc, k=min(30, len(desc))):
+            for m in mlist:
+                all_matches.append((m.distance, si, m.queryIdx, m.trainIdx))
+    if not all_matches:
+        return -1
+    # ratio filter: per QUERY, keep dist < best*1.05 (lib.rs:268-282). The
+    # reference's kNN is over the joint index; emulate per-query best.
+    best_per_query: dict[int, float] = {}
+    for d, si, qi, ti in all_matches:
+        best_per_query[qi] = min(best_per_query.get(qi, 1e9), d)
+    for d, si, qi, ti in all_matches:
+        if d < best_per_query[qi] * 1.05:
+            per_slide.setdefault(si, []).append((qi, ti))
+    cands = sorted(per_slide.items(), key=lambda kv: -len(kv[1]))[:40]
+    rated = []
+    for si, pairs in cands:
+        kp, _ = slide_feats[si]
+        src = np.float32([kp[ti].pt for _, ti in pairs]).reshape(-1, 1, 2)
+        dst = np.float32([fkp[qi].pt for qi, _ in pairs]).reshape(-1, 1, 2)
+        if len(pairs) < 2:
+            continue
+        m, inl = cv2.estimateAffinePartial2D(
+            src, dst, method=cv2.RANSAC, ransacReprojThreshold=3.0,
+            maxIters=2000, confidence=0.99, refineIters=10,
+        )
+        if m is None:
+            continue
+        rated.append((int(inl.sum()), si, m))
+    rated.sort(key=lambda r: -r[0])
+    rated = rated[:10]
+    if not rated:
+        return -1
+    best_rating = rated[0][0]
+    survivors = [
+        r for r in rated if r[0] > 50 and r[0] / max(best_rating, 1) > 0.2
+    ]
+    scored = []
+    for rating, si, m in survivors:
+        h, w = slides[si].shape
+        warped = cv2.warpAffine(frame, m, (w, h),
+                                flags=cv2.WARP_INVERSE_MAP | cv2.INTER_LINEAR)
+        factor = np.sqrt(120000.0 / (h * w))
+        hs, ws = int(h * factor), int(w * factor)
+        a = cv2.resize(warped, (ws, hs), interpolation=cv2.INTER_AREA)
+        b = cv2.resize(slides[si], (ws, hs), interpolation=cv2.INTER_AREA)
+        sim = 1.0 - np.linalg.norm(
+            a.astype(np.float32) - b.astype(np.float32)
+        ) / np.sqrt(255.0**2 * hs * ws)
+        scored.append((sim, si))
+    scored.sort(key=lambda r: -r[0])
+    if scored and scored[0][0] > 0.5:
+        return scored[0][1]
+    return -1
+
+
+@pytest.fixture(scope="module")
+def lecture():
+    rng = np.random.RandomState(7)
+    return _deck_and_frames(rng)
+
+
+def _small_cfg():
+    # Full cascade semantics at CI-friendly size (CPU compile time).
+    orb = dataclasses.replace(
+        DEFAULT_CONFIG.orb, n_features=1000, max_keypoints=1024, n_levels=6,
+        query_buckets=(512,),
+    )
+    match = dataclasses.replace(DEFAULT_CONFIG.match, ransac_iters=1000)
+    return dataclasses.replace(DEFAULT_CONFIG, orb=orb, match=match)
+
+
+def _engine_assignments(slides, frames, cfg):
+    index = orb_matcher.build_slide_index_chunked(np.asarray(slides), cfg)
+    match = orb_matcher.jit_match_frames(slides[0].shape, cfg)
+    out = match(
+        jnp.asarray(np.stack(frames)),
+        jnp.arange(len(frames), dtype=jnp.int32),
+        index,
+    )
+    return list(np.asarray(out.slide))
+
+
+def test_assignments_match_cv2_reference_pipeline(lecture):
+    """The TPU engine and the cv2 re-implementation of lib.rs:249-414 agree
+    on every frame->page assignment of a synthetic lecture."""
+    slides, frames, truth = lecture
+    cfg = _small_cfg()
+    ours = _engine_assignments(slides, frames, cfg)
+    oracle_cfg = dataclasses.replace(cfg, orb=dataclasses.replace(cfg.orb))
+    for i, frame in enumerate(frames):
+        ref = _cv2_reference_assignment(slides, frame, oracle_cfg)
+        assert ours[i] == ref, (i, int(ours[i]), ref, truth[i])
+        assert ref == truth[i], (i, ref, truth[i])  # oracle sanity
+
+
+def test_screened_equals_exact_assignments(lecture):
+    """The large-deck screened path must not change any assignment vs the
+    exact table (Weak #5 bound). Screening is forced by lowering
+    screen_above_slides below the deck size."""
+    slides, frames, _ = lecture
+    cfg = _small_cfg()
+    exact = _engine_assignments(slides, frames, cfg)
+    screened_cfg = dataclasses.replace(
+        cfg,
+        match=dataclasses.replace(
+            cfg.match, screen_above_slides=8, screen_slides=16,
+            screen_queries=256,
+        ),
+    )
+    screened = _engine_assignments(slides, frames, screened_cfg)
+    assert exact == screened, (exact, screened)

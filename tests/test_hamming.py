@@ -145,3 +145,43 @@ def test_screening_finds_true_slide(rng):
     # nearest neighbour of most queries should be slide 7
     top_slides = np.asarray(res.slide)[:, 0]
     assert (top_slides == 7).mean() > 0.9
+
+
+def test_pallas_table_matches_xla_table(rng):
+    """The fused Pallas match-table kernel (interpret mode on CPU) agrees
+    with the XLA streaming formulation on every field."""
+    from slideo_tpu.ops.pallas_table import match_table_scores_pallas
+
+    q_n, s, k = 40, 5, 128  # k must be a multiple of 128 for the kernel
+    q = _random_desc(rng, q_n)
+    d = _random_desc(rng, s * k).reshape(s, k, 256)
+    valid = rng.rand(s, k) > 0.3
+    valid[3, :] = False  # one fully-invalid slide
+    d[2, 17] = q[0]
+    valid[2, 17] = True
+    index = hamming.build_index(jnp.asarray(d), jnp.asarray(valid))
+
+    ref = hamming.match_table(jnp.asarray(q), index, s, k)  # XLA path on CPU
+    bias = jnp.where(index.valid, 0.0, -1e6).astype(jnp.float32)
+    best, arg = match_table_scores_pallas(
+        jnp.asarray(q, jnp.float32), index.desc, bias, s, k, interpret=True
+    )
+    dist = (256.0 - np.asarray(best)) * 0.5
+    valid_cols = np.asarray(ref.valid)
+    assert np.allclose(dist[valid_cols], np.asarray(ref.dist)[valid_cols])
+    # arg parity wherever the best is unique; where tied, distances equal
+    ref_train = np.asarray(ref.train)
+    got_train = np.asarray(arg)
+    same = got_train == ref_train
+    if not same.all():
+        alt = np.take_along_axis(
+            np.asarray(index.desc).reshape(s, k, 256)[None].repeat(q_n, 0),
+            got_train[..., None, None], axis=2,
+        )
+        # any disagreement must be an equal-distance tie
+        qq = np.asarray(q, np.float32)
+        for (i, j) in zip(*np.where(~same & valid_cols)):
+            d_ref = (256 - qq[i] @ np.asarray(index.desc).reshape(s, k, 256)[j, ref_train[i, j]].astype(np.float32)) / 2
+            d_got = (256 - qq[i] @ np.asarray(index.desc).reshape(s, k, 256)[j, got_train[i, j]].astype(np.float32)) / 2
+            assert d_ref == d_got, (i, j, d_ref, d_got)
+    assert int(got_train[0, 2]) == 17 and dist[0, 2] == 0.0

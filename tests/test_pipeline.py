@@ -127,10 +127,12 @@ def test_checkpoint_resume(fixture_dir, small_cfg, tmp_path):
     without reprocessing checkpointed frames and produce the same timeline."""
     from slideo_tpu.app.pipeline import MatchingEngine
 
-    # denser sampling + tiny batches so checkpoints happen mid-video
+    # denser sampling + single-frame batches so checkpoints happen mid-video
+    # even with the one-batch match-dispatch overlap (results of the newest
+    # in-flight batch land one flush later by design).
     cfg = dataclasses.replace(
         small_cfg,
-        video=dataclasses.replace(small_cfg.video, batch_size=2, interval_s=2.0),
+        video=dataclasses.replace(small_cfg.video, batch_size=1, interval_s=2.0),
     )
 
     db = Db(tmp_path / "slideo.db")
@@ -233,3 +235,40 @@ def test_engine_satisfies_matching_protocols(fixture_dir, small_cfg, tmp_path):
     # first record shows page 1 (index 0)
     first = [m for m in results if m.page is not None][0]
     assert first.page.page_nr == 1
+
+
+def test_engine_mesh_equals_single_device(fixture_dir, small_cfg):
+    """The production frame-DP mesh path (auto on >1 device — the 8-device
+    virtual CPU mesh here) must produce exactly the same matchings as the
+    single-device path (SLIDEO_MESH=off)."""
+    import os
+
+    import jax
+
+    from slideo_tpu.app.pipeline import MatchingEngine, PdfPage
+
+    assert jax.device_count() > 1  # conftest forces the 8-device CPU mesh
+    f = fixture_dir
+    pages = [
+        PdfPage(f["pdf_path"], f["pdf_hash"], f["pages_dir"] / f"p-{i}.png", i)
+        for i in (1, 2, 3)
+    ]
+
+    def run():
+        engine = MatchingEngine(small_cfg, pages)
+        out = engine.match_video(f["vid_path"])
+        return [(m.video_ms, m.page.page_nr if m.page else None) for m in out]
+
+    old = os.environ.get("SLIDEO_MESH")
+    try:
+        os.environ["SLIDEO_MESH"] = "off"
+        single = run()
+        os.environ["SLIDEO_MESH"] = "auto"
+        meshed = run()
+    finally:
+        if old is None:
+            os.environ.pop("SLIDEO_MESH", None)
+        else:
+            os.environ["SLIDEO_MESH"] = old
+    assert single == meshed
+    assert any(p is not None for _, p in single)

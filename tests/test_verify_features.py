@@ -86,10 +86,10 @@ def test_extract_features_invariants(rng):
     assert (desc[~valid] == 0).all()
     # quotas sum to n_features
     assert sum(cfg.per_level_quota) == cfg.n_features
-    # level sizes follow the 1.2 ladder
+    # level sizes follow the exact 5:6 block ladder (5 * ceil(n / 6))
     sizes = level_sizes(220, 300, cfg)
     assert sizes[0] == (220, 300)
-    assert sizes[1] == (round(220 / 1.2), 250)
+    assert sizes[1] == (5 * -(-220 // 6), 250)
 
 
 def test_features_deterministic(rng):
