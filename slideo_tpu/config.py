@@ -89,13 +89,20 @@ class MatchConfig:
                                     # dense comparison; 2 = every 2nd pixel,
                                     # 4x fewer gathers, statistically
                                     # indistinguishable similarity)
-    # Two-stage screening for large decks (TPU-specific; FLANN-LSH analogue).
-    # The fused Pallas match-table kernel makes EXACT matching affordable
-    # through the reference's whole recommended envelope ("<1000 slides",
-    # README.md:41), so screening only engages beyond it.
-    screen_above_slides: int = 1000  # screen when the deck has more slides than this
+    # Two-stage screening for large decks (TPU-specific; FLANN-LSH analogue,
+    # flann.rs:14-26). Stage 1 votes with the strongest frame descriptors
+    # against the index (descriptor-bit prefixes over every row by default —
+    # see hamming._screen_slides for the mode trade-off); stage 2 runs the
+    # exact table over the surviving slides only. Fidelity gates:
+    # tests/test_fidelity_oracle.py screened-vs-exact A/B and
+    # tests/test_hamming.py screening recall tests.
+    screen_above_slides: int = 96   # screen when the deck has more slides than this
     screen_slides: int = 64         # candidate slides surviving stage-1 screening
-    screen_bits: int = 64           # descriptor prefix bits used for screening
+    screen_mode: str = "prefix"     # "prefix" (full-K recall) | "sketch" (cheap)
+    screen_bits: int = 128          # descriptor prefix bits ("prefix" mode;
+                                    # 128 keeps stage 1 on the fused Pallas
+                                    # kernel — lane-aligned — and buys recall)
+    screen_sketch_k: int = 128      # sketch descriptors per slide ("sketch" mode)
     screen_queries: int = 512       # strongest frame keypoints used for screening
     knn_chunk: int = 65536          # index descriptors per top-k scan chunk
 

@@ -144,12 +144,19 @@ def match_frame(
 
     def run(q: int) -> FrameMatch:
         feats = features_ops.describe(atlas, meta, kps, q, cfg.orb)
+        # Max-only table: the full-index argmax is the VPU-dominant cost;
+        # candidate train ids are recomputed for the <=40 survivors inside
+        # the cascade (hamming.train_ids_for_slides).
         table = hamming.match_table_frame(
             feats.desc, feats.score, index.desc_index, n_slides, k_per_slide,
-            cfg.match,
+            cfg.match, with_train=False,
+        )
+        train_for_slides = lambda sids: hamming.train_ids_for_slides(
+            feats.desc, index.desc_index, sids, k_per_slide
         )
         return cascade_from_table(
-            frame, frame_seed, feats, table, index.pts, index.smalls, slide_hw, cfg
+            frame, frame_seed, feats, table, index.pts, index.smalls,
+            slide_hw, cfg, train_for_slides=train_for_slides,
         )
 
     if len(buckets) == 1:
@@ -170,14 +177,19 @@ def cascade_from_table(
     slide_smalls: jax.Array,
     slide_hw: tuple[int, int],
     cfg: SlideoConfig,
+    train_for_slides=None,
 ) -> FrameMatch:
     """The post-matching verification cascade (ratio filter -> ... -> winner).
 
     Takes a hamming.MatchTable; split out so sharded matching variants
     (index-parallel, parallel/mesh.py) reuse the identical cascade.
+    train_for_slides: required when the table carries no train ids
+    (see select.select_candidates_table).
     """
     mcfg = cfg.match
-    cands = select.select_candidates_table(table, feats.valid, mcfg)
+    cands = select.select_candidates_table(
+        table, feats.valid, mcfg, train_for_slides=train_for_slides
+    )
 
     # Gather matched point pairs: slide keypoints -> frame keypoints.
     cand_pts = jnp.take(slide_pts, cands.slide_ids, axis=0)        # [C, K, 2]

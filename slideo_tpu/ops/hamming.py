@@ -140,13 +140,17 @@ class MatchTable(NamedTuple):
     reductions that run at VPU rate.
 
     dist:  [Q, S] float32 best hamming distance per slide
-    train: [Q, S] int32 arg-best keypoint slot within the slide
+    train: [Q, S] int32 arg-best keypoint slot within the slide, or None
+           when the table was built with ``with_train=False`` (the cascade
+           then recomputes arg slots only for candidate slides via
+           ``train_ids_for_slides`` — the argmax over the full index is the
+           VPU-dominant cost of the table, ~3x the plain max)
     slide_ids: [S] int32 global slide id of each column
     valid: [Q, S] bool (slide has >=1 valid descriptor)
     """
 
     dist: jax.Array
-    train: jax.Array
+    train: jax.Array | None
     slide_ids: jax.Array
     valid: jax.Array
 
@@ -158,6 +162,7 @@ def match_table(
     k_per_slide: int,
     chunk_slides: int = 8,
     slide_ids: jax.Array | None = None,
+    with_train: bool = True,
 ) -> MatchTable:
     """Compute the [Q, S] best-match table.
 
@@ -179,7 +184,8 @@ def match_table(
 
         bias = jnp.where(index.valid, 0.0, -1e6).astype(jnp.float32)
         best, arg = match_table_scores_pallas(
-            query.astype(jnp.float32), index.desc, bias, n_slides, k_per_slide
+            query.astype(jnp.float32), index.desc, bias, n_slides,
+            k_per_slide, with_arg=with_train,
         )
         svalid = jnp.any(index.valid.reshape(n_slides, k_per_slide), axis=1)
         dist = (d_bits - best).astype(jnp.float32) * 0.5
@@ -217,13 +223,22 @@ def match_table(
         ).reshape(q, chunk_slides, k_per_slide)
         scores = jnp.where(vchunk[None], scores, jnp.float32(_NEG))
         best = jnp.max(scores, axis=-1)          # [Q, c]
-        arg = jnp.argmax(scores, axis=-1)        # [Q, c]
+        arg = (
+            jnp.argmax(scores, axis=-1) if with_train
+            else jnp.zeros((), jnp.int32)
+        )
         return None, (best, arg, jnp.any(vchunk, axis=-1))
 
     _, (best, arg, svalid) = jax.lax.scan(step, None, (desc_c, valid_c))
     # [n_chunks, Q, c] -> [Q, S]
     best = jnp.moveaxis(best, 0, 1).reshape(q, -1)[:, :n_slides]
-    arg = jnp.moveaxis(arg, 0, 1).reshape(q, -1)[:, :n_slides].astype(jnp.int32)
+    if with_train:
+        arg = (
+            jnp.moveaxis(arg, 0, 1).reshape(q, -1)[:, :n_slides]
+            .astype(jnp.int32)
+        )
+    else:
+        arg = None
     svalid = svalid.reshape(-1)[:n_slides]
     dist = (d_bits - best).astype(jnp.float32) * 0.5
     if slide_ids is None:
@@ -234,6 +249,37 @@ def match_table(
         slide_ids=slide_ids,
         valid=jnp.broadcast_to(svalid[None, :], (q, n_slides)),
     )
+
+
+def train_ids_for_slides(
+    query: jax.Array,
+    index: DescriptorIndex,
+    slide_ids: jax.Array,
+    k_per_slide: int,
+) -> jax.Array:
+    """Arg-best descriptor slot of each query within each given slide.
+
+    query: [Q, D] +-1 descriptors; slide_ids: [C] int32 global slide ids.
+    Returns [C, Q] int32 — exactly the ``train`` columns the full-table
+    argmax would produce for these slides (same scores, same first-index tie
+    break), at C/S of the cost. Used by the candidate-selection stage to
+    avoid computing the argmax over the whole index.
+    """
+    d_dim = index.desc.shape[1]
+    query_f = query.astype(jnp.float32)
+
+    def one(s):
+        row0 = s * k_per_slide
+        d = jax.lax.dynamic_slice(index.desc, (row0, 0), (k_per_slide, d_dim))
+        v = jax.lax.dynamic_slice(index.valid, (row0,), (k_per_slide,))
+        scores = jax.lax.dot_general(
+            query_f, d.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        scores = scores + jnp.where(v, 0.0, -1e6)[None, :]
+        return jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+    return jax.lax.map(one, slide_ids)
 
 
 def match_table_float(
@@ -296,16 +342,19 @@ def match_table_frame(
     n_slides: int,
     k_per_slide: int,
     cfg: MatchConfig,
+    with_train: bool = True,
 ) -> MatchTable:
     """Frame-level match table with optional large-deck screening.
 
     Decks up to cfg.screen_above_slides get the exact table over every
-    slide. Above that, stage-1 prefix voting (the FLANN-LSH analogue)
+    slide. Above that, stage-1 sketch voting (the FLANN-LSH analogue)
     selects cfg.screen_slides candidate slides and the exact table is
     computed only for those columns (slide_ids maps columns back).
     """
     if n_slides <= cfg.screen_above_slides:
-        return match_table(query, index, n_slides, k_per_slide)
+        return match_table(
+            query, index, n_slides, k_per_slide, with_train=with_train
+        )
 
     cand = _screen_slides(query, query_score, index, n_slides, cfg)
     # Each slide's descriptors are one contiguous [K, D] block; gather the
@@ -328,7 +377,9 @@ def match_table_frame(
         train_ids=jnp.tile(jnp.arange(k_per_slide, dtype=jnp.int32), n_cand),
         valid=sub_valid.reshape(n_cand * k_per_slide),
     )
-    return match_table(query, sub, n_cand, k_per_slide, slide_ids=cand)
+    return match_table(
+        query, sub, n_cand, k_per_slide, slide_ids=cand, with_train=with_train
+    )
 
 
 def knn(query: jax.Array, index: DescriptorIndex, k: int, chunk: int) -> KnnResult:
@@ -352,21 +403,51 @@ def _screen_slides(
     """Stage-1 slide screening: [cfg.screen_slides] candidate slide ids.
 
     Matches the strongest cfg.screen_queries frame descriptors against the
-    cfg.screen_bits-bit prefixes of the whole index and votes per slide.
-    This is the role FLANN's LSH tables play in the reference (approximate
-    candidate generation); the final ranking still uses full descriptors.
-    Uses the sort-free match-table reduction (no top_k over the index).
+    whole index and votes per slide with the same within-5%-of-best rule the
+    main filter uses. This is the role FLANN's LSH tables play in the
+    reference (approximate candidate generation, flann.rs:14-26); the final
+    ranking still uses full descriptors over the surviving slides.
+
+    Two modes (cfg.screen_mode):
+    - "prefix" (default): cfg.screen_bits-bit descriptor prefixes over EVERY
+      index row. Full-K coverage is what carries recall — the frame's strong
+      corners always have their counterpart in the index; measured recall at
+      500 text-like slides is 8/8 with rank-0 votes.
+    - "sketch": full 256-bit descriptors over each slide's first
+      cfg.screen_sketch_k slots (its strongest level-0 keypoints). ~16x
+      cheaper but measured recall losses at 500 slides (the sketch misses
+      the warped frame's corners ~40% of the time) — kept for decks beyond
+      prefix reach, not the default.
     """
     _, top_q = jax.lax.top_k(query_score, cfg.screen_queries)
-    q_sub = jnp.take(query, top_q, axis=0)[:, : cfg.screen_bits]
+    q_sub = jnp.take(query, top_q, axis=0)
     k_per_slide = index.desc.shape[0] // n_slides
-    prefix_index = DescriptorIndex(
-        desc=index.desc[:, : cfg.screen_bits],
-        slide_ids=index.slide_ids,
-        train_ids=index.train_ids,
-        valid=index.valid,
-    )
-    table = match_table(q_sub, prefix_index, n_slides, k_per_slide, chunk_slides=16)
+    if cfg.screen_mode == "sketch":
+        ksk = min(cfg.screen_sketch_k, k_per_slide)
+        d_dim = index.desc.shape[1]
+        sketch_desc = index.desc.reshape(n_slides, k_per_slide, d_dim)[:, :ksk]
+        sketch_valid = index.valid.reshape(n_slides, k_per_slide)[:, :ksk]
+        sub = DescriptorIndex(
+            desc=sketch_desc.reshape(n_slides * ksk, d_dim),
+            slide_ids=jnp.repeat(jnp.arange(n_slides, dtype=jnp.int32), ksk),
+            train_ids=jnp.tile(jnp.arange(ksk, dtype=jnp.int32), n_slides),
+            valid=sketch_valid.reshape(n_slides * ksk),
+        )
+        table = match_table(
+            q_sub, sub, n_slides, ksk, chunk_slides=64, with_train=False
+        )
+    else:
+        q_sub = q_sub[:, : cfg.screen_bits]
+        prefix_index = DescriptorIndex(
+            desc=index.desc[:, : cfg.screen_bits],
+            slide_ids=index.slide_ids,
+            train_ids=index.train_ids,
+            valid=index.valid,
+        )
+        table = match_table(
+            q_sub, prefix_index, n_slides, k_per_slide, chunk_slides=16,
+            with_train=False,
+        )
     best = jnp.min(jnp.where(table.valid, table.dist, jnp.inf), axis=1, keepdims=True)
     keep = table.valid & (table.dist <= best * 1.05 + 1.0)
     votes = jnp.sum(keep, axis=0).astype(jnp.float32)

@@ -4,9 +4,24 @@ The XLA formulation (ops/hamming.match_table) materializes each [Q, c*K]
 score block to HBM and reads it back for the per-slide max/argmax — ~4 GB of
 HBM round-trips per 1080p frame against a 500-slide deck, which dominates
 the matching stage. This kernel keeps the score block for one slide in VMEM:
-grid over slide groups, one [Q, 256] x [256, K] MXU contraction per slide,
-reduce to that slide's best score/argmax on-chip, and write only the [S, Q]
-result rows (a few MB per frame).
+grid over (slide groups, query blocks), one [QB, 256] x [256, K] MXU
+contraction per slide, reduce to that slide's best score/argmax on-chip, and
+write only the [S, Q] result rows (a few MB per frame).
+
+The grid is 2-D — slide groups outer, query blocks inner — so the per-step
+VMEM footprint is bounded by the query *block* (QB=256 rows), not the full
+query count: the largest transient is one [QB, K] score block (2 MB f32 at
+K=2048) next to the double-buffered [_SB, K, D] descriptor block (2x4 MB),
+safely inside the 16 MB scoped-VMEM limit even for the Q=2048 bucket.
+Descriptor blocks depend only on the outer index, so each slide group is
+DMA'd once and revisited by every query block (the whole index streams
+through VMEM exactly once per frame).
+
+Descriptors are +-1 vectors, so the dot products are small integers
+(|sum| <= 256) and every MXU input dtype — int8, bfloat16, float32 — computes
+them EXACTLY (bf16 represents integers to 256; accumulation is
+int32/float32). ``dtype`` therefore only selects speed: int8 runs at the
+v5e MXU's 4x rate, bf16 at 2x, relative to float32.
 
 This makes EXACT matching affordable for reference-scale decks ("<1000
 slides", /root/reference/README.md:41), so the production path needs no
@@ -29,42 +44,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["match_table_scores_pallas"]
 
-_SB = 8  # slides per grid step (output sublane alignment)
+_QB = 256  # query rows per grid step (bounds the [QB, K] score transient)
 
 
-def _kernel(q_ref, desc_ref, bias_ref, best_ref, arg_ref, *, k_chunk: int):
-    """One grid step = _SB slides.
+def _slides_per_step(desc_itemsize: int, k_per_slide: int, d_bits: int) -> int:
+    """Slides per grid step: keep the double-buffered descriptor block
+    inside ~8 MB of the 16 MB scoped-VMEM budget (the score transient,
+    query block, and outputs take the rest)."""
+    block_bytes = k_per_slide * d_bits * desc_itemsize
+    sb = 8
+    while sb > 1 and sb * block_bytes > 4 * 1024 * 1024:
+        sb //= 2
+    return sb
 
-    q_ref:    [Q, D] float32 (+-1 descriptors, padded rows are 0)
-    desc_ref: [_SB, K, D] int8 block of these slides' descriptors
-    bias_ref: [_SB, 1, K] float32 (0 for valid rows, -1e6 for invalid)
-    best_ref: [_SB, Q] float32 best score per query per slide
-    arg_ref:  [_SB, Q] int32 argmax descriptor slot
+
+def _kernel_t(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
+    """Transposed-index variant: desc_ref is [sb, D, K] — each slide's
+    descriptors stored column-major so the MXU contraction is the natural
+    (lhs [QB, D]) x (rhs [D, K]) layout with no in-VMEM transpose."""
+    q = q_ref[:]
+    acc_dtype = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    for j in range(sb):
+        scores = jax.lax.dot_general(
+            q, desc_ref[j].astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )                                             # [_QB, K]
+        scores = scores.astype(jnp.float32) + bias_ref[j, 0, :][None, :]
+        best_ref[j, :] = jnp.max(scores, axis=1)
+        if arg_ref is not None:
+            arg_ref[j, :] = jnp.argmax(scores, axis=1).astype(jnp.int32)
+
+
+def _kernel(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
+    """One grid step = sb slides x _QB queries.
+
+    q_ref:    [_QB, D] (+-1 descriptors in the compute dtype; pad rows are 0)
+    desc_ref: [sb, K, D] block of these slides' descriptors. When stored
+              int8 it is cast to the compute dtype per block IN the kernel;
+              prefer storing the index pre-cast (bf16) — Mosaic's int8->bf16
+              relayout (32,128)->(16,128) costs cross-sublane shuffles that
+              dominate the whole kernel
+    bias_ref: [sb, 1, K] float32 additive bias (0 valid / -1e6 invalid)
+    best_ref: [sb, _QB] float32 best score per query per slide
+    arg_ref:  [sb, _QB] int32 argmax descriptor slot (omitted in max-only
+              mode — the downstream cascade only needs arg slots for the
+              <=40 candidate slides, recomputed cheaply by
+              hamming.train_ids_for_slides)
     """
     q = q_ref[:]
-    k_total = desc_ref.shape[1]
-    n_chunks = k_total // k_chunk
-
-    for j in range(_SB):
-        best = None
-        arg = None
-        for c in range(n_chunks):
-            d = desc_ref[j, c * k_chunk : (c + 1) * k_chunk, :].astype(jnp.float32)
-            scores = jax.lax.dot_general(
-                q, d, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [Q, k_chunk]
-            scores = scores + bias_ref[j, 0, c * k_chunk : (c + 1) * k_chunk][None, :]
-            c_best = jnp.max(scores, axis=1)
-            c_arg = jnp.argmax(scores, axis=1).astype(jnp.int32) + c * k_chunk
-            if best is None:
-                best, arg = c_best, c_arg
-            else:
-                take = c_best > best
-                best = jnp.maximum(best, c_best)
-                arg = jnp.where(take, c_arg, arg)
-        best_ref[j, :] = best
-        arg_ref[j, :] = arg
+    acc_dtype = jnp.int32 if dtype == jnp.int8 else jnp.float32
+    for j in range(sb):
+        scores = jax.lax.dot_general(
+            q, desc_ref[j].astype(dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=acc_dtype,
+        )                                             # [_QB, K]
+        # Mosaic's argmax lowering supports only float32; the cast is exact
+        # (|score| <= 256 and the bias is a power-of-10 well inside f32).
+        scores = scores.astype(jnp.float32) + bias_ref[j, 0, :][None, :]
+        best_ref[j, :] = jnp.max(scores, axis=1)
+        if arg_ref is not None:
+            arg_ref[j, :] = jnp.argmax(scores, axis=1).astype(jnp.int32)
 
 
 def match_table_scores_pallas(
@@ -74,33 +113,39 @@ def match_table_scores_pallas(
     n_slides: int,
     k_per_slide: int,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """Per-(query, slide) best dot-product score and arg slot.
+    dtype=jnp.bfloat16,
+    with_arg: bool = True,
+    transposed: bool = False,
+) -> tuple[jax.Array, jax.Array | None]:
+    """Per-(query, slide) best dot-product score and (optionally) arg slot.
 
     query: [Q, D] int8/float32 +-1 descriptors (invalid rows all-zero)
-    desc:  [S*K, D] int8 +-1 index descriptors
+    desc:  [S*K, D] +-1 index descriptors; int8 (cast in-kernel) or already
+           in the compute dtype (preferred — avoids Mosaic's slow int8
+           relayout; hamming.build_index stores bf16 for exactly this)
     bias:  [S*K] float32 additive row bias (0 valid / -1e6 invalid)
-    Returns (best [Q, S] float32, arg [Q, S] int32).
+    dtype: MXU input dtype (int8 | bfloat16 | float32) — exact either way.
+    Returns (best [Q, S] float32, arg [Q, S] int32 or None if not with_arg).
 
     Requires D and K multiples of 128 (use hamming.match_table otherwise).
     """
     q, d_bits = query.shape
-    assert desc.shape[0] == n_slides * k_per_slide
+    if transposed:
+        assert desc.shape == (n_slides, d_bits, k_per_slide), desc.shape
+    else:
+        assert desc.shape[0] == n_slides * k_per_slide
     assert d_bits % 128 == 0 and k_per_slide % 128 == 0, (d_bits, k_per_slide)
-    q_pad = (-q) % 8
+    q_pad = (-q) % _QB
     if q_pad:
         query = jnp.pad(query, ((0, q_pad), (0, 0)))
     qp = q + q_pad
 
-    # Keep the [Q, k_chunk] score block well inside VMEM next to the
-    # double-buffered [_SB, K, D] descriptor blocks.
-    k_chunk = k_per_slide
-    while qp * k_chunk * 4 > 4 * 1024 * 1024 and k_chunk % 256 == 0:
-        k_chunk //= 2
-
-    s_pad = (-n_slides) % _SB
-    desc3 = desc.reshape(n_slides, k_per_slide, d_bits)
-    bias2 = bias.reshape(n_slides, 1, k_per_slide)
+    sb = _slides_per_step(desc.dtype.itemsize, k_per_slide, d_bits)
+    s_pad = (-n_slides) % sb
+    desc3 = (
+        desc if transposed else desc.reshape(n_slides, k_per_slide, d_bits)
+    )
+    bias2 = bias.astype(jnp.float32).reshape(n_slides, 1, k_per_slide)
     if s_pad:
         desc3 = jnp.pad(desc3, ((0, s_pad), (0, 0), (0, 0)))
         bias2 = jnp.pad(
@@ -108,33 +153,40 @@ def match_table_scores_pallas(
         )
     sp = n_slides + s_pad
 
-    best_t, arg_t = pl.pallas_call(
-        partial(_kernel, k_chunk=k_chunk),
-        grid=(sp // _SB,),
+    desc_block = (
+        (sb, d_bits, k_per_slide) if transposed
+        else (sb, k_per_slide, d_bits)
+    )
+    out_spec = pl.BlockSpec((sb, _QB), lambda i, j: (i, j),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_kernel_t if transposed else _kernel, dtype=dtype, sb=sb),
+        grid=(sp // sb, qp // _QB),
         in_specs=[
-            pl.BlockSpec((qp, d_bits), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_QB, d_bits), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (_SB, k_per_slide, d_bits), lambda i: (i, 0, 0),
+                desc_block, lambda i, j: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (_SB, 1, k_per_slide), lambda i: (i, 0, 0),
+                (sb, 1, k_per_slide), lambda i, j: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(
-            pl.BlockSpec((_SB, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SB, qp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ),
+        out_specs=(out_spec, out_spec) if with_arg else (out_spec,),
         out_shape=(
             jax.ShapeDtypeStruct((sp, qp), jnp.float32),
             jax.ShapeDtypeStruct((sp, qp), jnp.int32),
-        ),
+        ) if with_arg else (jax.ShapeDtypeStruct((sp, qp), jnp.float32),),
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * d_bits * sp * k_per_slide,
             bytes_accessed=sp * k_per_slide * d_bits + 2 * sp * qp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(query.astype(jnp.float32), desc3, bias2)
-    return best_t.T[:q, :n_slides], arg_t.T[:q, :n_slides]
+    )(query.astype(dtype), desc3, bias2)
+    if with_arg:
+        best_t, arg_t = out
+        return best_t.T[:q, :n_slides], arg_t.T[:q, :n_slides]
+    return out[0].T[:q, :n_slides], None

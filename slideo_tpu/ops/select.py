@@ -44,6 +44,7 @@ def select_candidates_table(
     table,
     query_valid: jax.Array,
     cfg: MatchConfig,
+    train_for_slides=None,
 ) -> CandidateMatches:
     """Candidate selection from a best-match table (sort-free fast path).
 
@@ -54,6 +55,11 @@ def select_candidates_table(
     the cfg.knn_k strongest slides per query (the reference's kNN fan-out);
     slides are ranked by kept-match count and the top cfg.top_slides become
     candidates with their matches compacted by ascending distance.
+
+    train_for_slides: callback [C] global slide ids -> [C, Q] arg-best
+    descriptor slots (hamming.train_ids_for_slides bound to the index).
+    Required when the table was built ``with_train=False``: the argmax then
+    runs only over the <=cfg.top_slides candidates instead of every slide.
     """
     q, s = table.dist.shape
     big = jnp.float32(1e6)
@@ -75,16 +81,25 @@ def select_candidates_table(
     cand_valid = top_counts > 0
 
     m = min(cfg.max_matches_per_slide, q)
+    cand_slide_ids = jnp.take(table.slide_ids, cand_cols)
+    if table.train is None:
+        if train_for_slides is None:
+            raise ValueError(
+                "table has no train ids; pass train_for_slides"
+            )
+        train_cq = train_for_slides(cand_slide_ids)  # [C, Q]
+    else:
+        train_cq = table.train.T[cand_cols]          # [C, Q]
 
-    def compact(col):
+    def compact(col, train_q):
         mine = keep[:, col]
         key = jnp.where(mine, big - table.dist[:, col], -big)
         topv, qidx = jax.lax.top_k(key, m)
-        return qidx, jnp.take(table.train[:, col], qidx), topv > 0
+        return qidx, jnp.take(train_q, qidx), topv > 0
 
-    query_ids, train_ids, match_valid = jax.vmap(compact)(cand_cols)
+    query_ids, train_ids, match_valid = jax.vmap(compact)(cand_cols, train_cq)
     return CandidateMatches(
-        slide_ids=jnp.take(table.slide_ids, cand_cols),
+        slide_ids=cand_slide_ids,
         cand_valid=cand_valid,
         query_ids=query_ids,
         train_ids=train_ids,

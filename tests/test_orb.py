@@ -44,9 +44,14 @@ def test_orientation_points_to_centroid():
     assert float(s2[0]) > 0.95
 
 
-def test_descriptor_rotation_invariance(rng):
+def test_descriptor_rotation_invariance():
     """Steering by each patch's *estimated* orientation makes descriptors of
-    rotated content agree — the property the matcher relies on."""
+    rotated content agree — the property the matcher relies on.
+
+    Uses a locally-seeded RNG: the shared session fixture's state depends on
+    test execution order, and this statistical bound (0.85) is seed-
+    sensitive."""
+    rng = np.random.RandomState(3)
     img = cv2.GaussianBlur((rng.rand(240, 240) * 255).astype(np.float32), (0, 0), 3)
     center = (120.0, 120.0)
 

@@ -1,0 +1,126 @@
+"""Diagnose stage-1 screening recall at bench scale (TPU).
+
+For each test frame: the true slide's stage-1 vote rank, whether it survives
+screening, and the exact-vs-screened assignment A/B.
+
+Usage: python tools/debug_screen.py [--slides 500] [--frames 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slides", type=int, default=500)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from bench import synthesize
+    from slideo_tpu.config import DEFAULT_CONFIG
+    from slideo_tpu.models import orb_matcher
+    from slideo_tpu.ops import features as F
+    from slideo_tpu.ops import hamming
+    from slideo_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    cfg = DEFAULT_CONFIG
+    hw = (1080, 1920)
+    slides, frames = synthesize(args.slides, hw, hw, args.frames)
+
+    # Ground truth: re-derive which slide each frame came from (synthesize
+    # uses rng seeded identically; recompute the same draws).
+    rng = np.random.RandomState(0)
+    for s in range(args.slides):
+        rng.randint(110, hw[0] - 60, size=0)  # keep in sync is fragile; skip
+    # Instead: take truth = argmax similarity by template text match is
+    # overkill — use the exact matcher's assignment as the reference truth.
+
+    index = orb_matcher.build_slide_index_chunked(slides, cfg)
+    n_slides, k_per = index.pts.shape[0], index.pts.shape[1]
+    meta = F.pyramid_meta(hw[0], hw[1], cfg.orb)
+
+    def screen_rank(frame, true_slide):
+        atlas = F.build_pyramid(frame, cfg.orb)
+        kps = F.detect_pyramid(atlas, meta, cfg.orb)
+        feats = F.describe(atlas, meta, kps, cfg.orb.max_keypoints, cfg.orb)
+        _, top_q = jax.lax.top_k(feats.score, cfg.match.screen_queries)
+        q_sub = jnp.take(feats.desc, top_q, axis=0)
+        ksk = min(cfg.match.screen_sketch_k, k_per)
+        d_dim = index.desc_index.desc.shape[1]
+        sk_desc = index.desc_index.desc.reshape(n_slides, k_per, d_dim)[:, :ksk]
+        sk_valid = index.desc_index.valid.reshape(n_slides, k_per)[:, :ksk]
+        sketch = hamming.DescriptorIndex(
+            desc=sk_desc.reshape(-1, d_dim),
+            slide_ids=jnp.repeat(jnp.arange(n_slides, dtype=jnp.int32), ksk),
+            train_ids=jnp.tile(jnp.arange(ksk, dtype=jnp.int32), n_slides),
+            valid=sk_valid.reshape(-1),
+        )
+        table = hamming.match_table(
+            q_sub, sketch, n_slides, ksk, with_train=False
+        )
+        best = jnp.min(
+            jnp.where(table.valid, table.dist, jnp.inf), axis=1, keepdims=True
+        )
+        keep = table.valid & (table.dist <= best * 1.05 + 1.0)
+        votes = jnp.sum(keep, axis=0)
+        rank = jnp.sum(votes > votes[true_slide])
+        return votes, rank
+
+    # Exact vs screened assignments.
+    exact_cfg = dataclasses.replace(
+        cfg, match=dataclasses.replace(cfg.match, screen_above_slides=10000)
+    )
+    fr = jnp.asarray(frames)
+    seeds = jnp.arange(args.frames, dtype=jnp.int32)
+    t0 = time.time()
+    exact = jax.jit(
+        lambda f, s, i: orb_matcher.match_frames(f, s, i, hw, exact_cfg)
+    )(fr, seeds, index)
+    exact_slides = np.asarray(exact.slide)
+    print(f"exact:    {exact_slides}  sims={np.asarray(exact.similarity).round(3)}"
+          f"  ({time.time()-t0:.0f}s)", flush=True)
+    t0 = time.time()
+    scr = jax.jit(
+        lambda f, s, i: orb_matcher.match_frames(f, s, i, hw, cfg)
+    )(fr, seeds, index)
+    scr_slides = np.asarray(scr.slide)
+    print(f"screened: {scr_slides}  sims={np.asarray(scr.similarity).round(3)}"
+          f"  ({time.time()-t0:.0f}s)", flush=True)
+
+    jrank = jax.jit(screen_rank)
+    for i in range(args.frames):
+        true = int(exact_slides[i])
+        if true < 0:
+            print(f"frame {i}: exact says no match; screened {scr_slides[i]}")
+            continue
+        votes, rank = jrank(fr[i], true)
+        votes = np.asarray(votes)
+        order = np.argsort(-votes)
+        print(
+            f"frame {i}: true={true} rank={int(rank)} "
+            f"votes[true]={votes[true]} top5={[(int(s), int(votes[s])) for s in order[:5]]} "
+            f"survives={int(rank) < cfg.match.screen_slides} "
+            f"screened_says={scr_slides[i]}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -145,7 +145,55 @@ def levels_only(levels, meta):
     return sum(jnp.sum(l) for l in levels)
 
 
+def full_batched_dense(batch):
+    """Variant E: whole batch per level, dense banded matmuls (MXU shapes
+    [B*H, W] x [W, W'] — no per-frame skinny chains)."""
+    meta = F.pyramid_meta(H, W, cfg)
+    w0 = meta.atlas_hw[1]
+    levels = [batch]
+    x = batch
+    for lvl in range(1, cfg.n_levels):
+        h, w = x.shape[1], x.shape[2]
+        ho, wo = F._next_65(h), F._next_65(w)
+        wy = jnp.asarray(_dense_65(h, ho))   # [ho, h]
+        wx = jnp.asarray(_dense_65(w, wo))   # [wo, w]
+        x = jnp.einsum("bhw,vw->bhv", x, wx, preferred_element_type=jnp.float32)
+        x = jnp.einsum("bhv,uh->buv", x, wy, preferred_element_type=jnp.float32)
+        levels.append(x)
+    atlas = jnp.concatenate(
+        [jnp.pad(l, ((0, 0), (0, 0), (0, w0 - l.shape[2]))) for l in levels],
+        axis=1,
+    )
+    return jnp.sum(atlas, axis=(1, 2))
+
+
+def full_batched_block(batch):
+    """Variant F: whole batch per level, block-periodic einsums (5 flops/px)."""
+    meta = F.pyramid_meta(H, W, cfg)
+    w0 = meta.atlas_hw[1]
+    p = jnp.asarray(F._pattern_65())
+    levels = [batch]
+    x = batch
+    for lvl in range(1, cfg.n_levels):
+        b, h, w = x.shape
+        h6, w6 = 6 * ((h + 5) // 6), 6 * ((w + 5) // 6)
+        x = jnp.pad(x, ((0, 0), (0, h6 - h), (0, w6 - w)), mode="edge")
+        x = x.reshape(b, h6 // 6, 6, w6)
+        x = jnp.einsum("rj,bkjw->bkrw", p, x, preferred_element_type=jnp.float32)
+        x = x.reshape(b, h6 // 6 * 5, w6 // 6, 6)
+        x = jnp.einsum("rj,bhkj->bhkr", p, x, preferred_element_type=jnp.float32)
+        x = x.reshape(b, h6 // 6 * 5, w6 // 6 * 5)
+        levels.append(x)
+    atlas = jnp.concatenate(
+        [jnp.pad(l, ((0, 0), (0, 0), (0, w0 - l.shape[2]))) for l in levels],
+        axis=1,
+    )
+    return jnp.sum(atlas, axis=(1, 2))
+
+
 if __name__ == "__main__":
+    time_fn("E batched dense", full_batched_dense)
+    time_fn("F batched block", full_batched_block)
     time_fn("A block+dus (current)", make_full(step_block, atlas_dus))
     time_fn("A block, levels only", make_full(step_block, levels_only))
     time_fn("A block + concat", make_full(step_block, atlas_concat))
