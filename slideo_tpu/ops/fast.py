@@ -21,7 +21,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["CIRCLE_OFFSETS", "fast_scores", "nms3x3", "detect_keypoints"]
+__all__ = [
+    "CIRCLE_OFFSETS", "fast_scores", "nms3x3", "score_map", "detect_keypoints",
+]
 
 # Bresenham circle of radius 3, 16 points, clockwise from (dy=-3, dx=0)
 # (the standard FAST-16 ring).
@@ -79,6 +81,23 @@ def nms3x3(score: jax.Array) -> jax.Array:
     return jnp.where(score >= neigh, score, 0.0)
 
 
+def score_map(img: jax.Array, threshold: int) -> jax.Array:
+    """NMS'd FAST score map of a [H, W] image, backend-dispatched.
+
+    On TPU this is the fused single-pass Pallas kernel (ops/pallas_fast.py,
+    bit-exact vs the XLA formulation); on CPU the XLA path. Callers may pass
+    a whole pyramid *atlas*: scores within 4 px of a level boundary are
+    contaminated by the neighboring level's rows, but every consumer masks a
+    >=62 px per-level border (edge_threshold) before using them, so one
+    atlas-wide pass equals per-level passes on all surviving pixels.
+    """
+    if jax.default_backend() == "cpu":
+        return nms3x3(fast_scores(img, threshold))
+    from .pallas_fast import fast_scores_pallas
+
+    return fast_scores_pallas(img, threshold)
+
+
 def detect_keypoints(
     img: jax.Array, threshold: int, border: int, k: int
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
@@ -89,14 +108,7 @@ def detect_keypoints(
     feature_extractor.rs:17).
     """
     h, w = img.shape
-    if jax.default_backend() == "cpu":
-        score = nms3x3(fast_scores(img, threshold))
-    else:
-        # Fused single-pass Pallas kernel on TPU (same output; see
-        # ops/pallas_fast.py).
-        from .pallas_fast import fast_scores_pallas
-
-        score = fast_scores_pallas(img, threshold)
+    score = score_map(img, threshold)
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inb = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)

@@ -179,15 +179,22 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
 
     Coordinates are level-local; ``describe`` resolves them against the
     atlas. Quota slots a level cannot fill carry valid=False.
+
+    The FAST+NMS score map runs ONCE over the whole atlas (one Pallas
+    sweep instead of 8 per-level calls); the >=62 px per-level border mask
+    makes level-boundary contamination unreachable, so per-level results are
+    identical (see fast.score_map). Only the top-k runs per level (quotas).
     """
     quotas = cfg.per_level_quota
+    score_atlas = fast.score_map(atlas, cfg.fast_threshold)
+    border = cfg.edge_threshold
     parts: list[Keypoints] = []
     for lvl, ((lh, lw), off, quota) in enumerate(
         zip(meta.sizes, meta.offsets, quotas)
     ):
         if quota <= 0:
             continue
-        usable = lh > 2 * cfg.edge_threshold and lw > 2 * cfg.edge_threshold
+        usable = lh > 2 * border and lw > 2 * border
         if not usable:
             parts.append(
                 Keypoints(
@@ -199,17 +206,26 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
                 )
             )
             continue
-        img_lvl = jax.lax.dynamic_slice(atlas, (off, 0), (lh, lw))
-        score, ys, xs, valid = fast.detect_keypoints(
-            img_lvl, cfg.fast_threshold, cfg.edge_threshold, quota
+        score = jax.lax.slice(score_atlas, (off, 0), (off + lh, lw))
+        ys_g = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 0)
+        xs_g = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 1)
+        inb = (
+            (ys_g >= border) & (ys_g < lh - border)
+            & (xs_g >= border) & (xs_g < lw - border)
         )
+        score = jnp.where(inb, score, 0.0)
+        flat = score.reshape(-1)
+        # approx_max_k: TPU-native partial reduction instead of a full sort;
+        # corners missed at 5% recall are interchangeable with the ones kept
+        # (quota allocation is heuristic to begin with).
+        top, idx = jax.lax.approx_max_k(flat, quota, recall_target=0.95)
         parts.append(
             Keypoints(
-                score=score,
-                y=ys.astype(jnp.int32),
-                x=xs.astype(jnp.int32),
+                score=top,
+                y=(idx // lw).astype(jnp.int32),
+                x=(idx % lw).astype(jnp.int32),
                 level=jnp.full((quota,), lvl, jnp.int32),
-                valid=valid,
+                valid=top > 0.0,
             )
         )
     kps = Keypoints(*(jnp.concatenate(f) for f in zip(*parts)))

@@ -72,6 +72,7 @@ def warp_similarity(
     slide_hw: tuple[int, int],
     max_area: int = 300 * 400,
     stride: int = 1,
+    chunk: int = 8192,
 ) -> jax.Array:
     """Similarity of the warped frame vs each candidate slide thumbnail.
 
@@ -84,6 +85,11 @@ def warp_similarity(
 
     Returns [T] float32 similarities (image_utils.rs:22-27 formula with the
     grayscale channel count).
+
+    All candidates' sample points are flattened into ONE point stream and
+    scanned in large chunks — candidate-sequential maps cost ~60 tiny
+    dispatches of sub-MXU-size work per frame; flattened, the same sampling
+    is ~13 full-size chunks regardless of candidate count.
     """
     hs, ws = slide_smalls.shape[-2], slide_smalls.shape[-1]
     full_h, full_w = slide_hw
@@ -100,23 +106,21 @@ def warp_similarity(
     jj = (jnp.arange(0, ws, stride, dtype=jnp.float32) + 0.5) * sx - 0.5
     ii = (jnp.arange(0, hs, stride, dtype=jnp.float32) + 0.5) * sy - 0.5
     out_h, out_w = ii.shape[0], jj.shape[0]
-    gx = jnp.broadcast_to(jj[None, :], (out_h, out_w))
-    gy = jnp.broadcast_to(ii[:, None], (out_h, out_w))
+    gx = jnp.broadcast_to(jj[None, None, :], (1, out_h, out_w))
+    gy = jnp.broadcast_to(ii[None, :, None], (1, out_h, out_w))
 
-    def one(t: Similarity, slide_id):
-        fx = t.a * gx - t.b * gy + t.tx
-        fy = t.b * gx + t.a * gy + t.ty
-        sx_ = (fx + 0.5) * inv_fx - 0.5
-        sy_ = (fy + 0.5) * inv_fy - 0.5
-        warped = _bilinear_image(frame_small, sx_.reshape(-1), sy_.reshape(-1))
-        warped = warped.reshape(out_h, out_w)
-        small = slide_smalls[slide_id][::stride, ::stride]
-        return compute_similarity(warped, small, channels=1)
+    t = transforms
+    fx = t.a[:, None, None] * gx - t.b[:, None, None] * gy + t.tx[:, None, None]
+    fy = t.b[:, None, None] * gx + t.a[:, None, None] * gy + t.ty[:, None, None]
+    sx_ = ((fx + 0.5) * inv_fx - 0.5).reshape(-1)   # [T*P]
+    sy_ = ((fy + 0.5) * inv_fy - 0.5).reshape(-1)
+    warped = _bilinear_image(frame_small, sx_, sy_, chunk=chunk)
+    warped = warped.reshape(-1, out_h, out_w)       # [T, oh, ow]
 
-    # Sequential over the <=10 candidates: the tent-weight transients are
-    # [N, fsh]+[N, fsw] per candidate; vmapping 10x would multiply them.
-    return jax.lax.map(lambda args: one(Similarity(*args[:4]), args[4]),
-                       (*transforms, cand_slide_ids))
+    smalls = jnp.take(slide_smalls, cand_slide_ids, axis=0)[:, ::stride, ::stride]
+    return jax.vmap(lambda w, s: compute_similarity(w, s, channels=1))(
+        warped, smalls
+    )
 
 
 def warp_similarity_homography(
@@ -152,14 +156,11 @@ def warp_similarity_homography(
     gy = jnp.broadcast_to(ii[:, None], (out_h, out_w))
     grid = jnp.stack([gx, gy], axis=-1)
 
-    def one(h, slide_id):
-        f = apply_homography(Homography(h), grid)
-        sx_ = (f[..., 0] + 0.5) * inv_fx - 0.5
-        sy_ = (f[..., 1] + 0.5) * inv_fy - 0.5
-        warped = _bilinear_image(frame_small, sx_.reshape(-1), sy_.reshape(-1))
-        warped = warped.reshape(out_h, out_w)
-        small = slide_smalls[slide_id][::stride, ::stride]
-        return compute_similarity(warped, small, channels=1)
-
-    return jax.lax.map(lambda args: one(args[0], args[1]),
-                       (transforms.h, cand_slide_ids))
+    f = jax.vmap(lambda h: apply_homography(Homography(h), grid))(transforms.h)
+    sx_ = ((f[..., 0] + 0.5) * inv_fx - 0.5).reshape(-1)   # [T*P]
+    sy_ = ((f[..., 1] + 0.5) * inv_fy - 0.5).reshape(-1)
+    warped = _bilinear_image(frame_small, sx_, sy_).reshape(-1, out_h, out_w)
+    smalls = jnp.take(slide_smalls, cand_slide_ids, axis=0)[:, ::stride, ::stride]
+    return jax.vmap(lambda w, s: compute_similarity(w, s, channels=1))(
+        warped, smalls
+    )

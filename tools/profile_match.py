@@ -86,10 +86,44 @@ def main():
                 feats = F.describe(atlas, meta, kps, q, cfg.orb)
                 t = hamming.match_table_frame(
                     feats.desc, feats.score, idx.desc_index, n_slides, k_per,
-                    cfg.match)
-                return t.dist.sum() + t.train.sum()
+                    cfg.match, with_train=False)
+                return t.dist.sum()
             return jax.lax.map(one, fr)
         return prefix_table
+
+    def make_prefix_select(q, with_ransac=False):
+        from slideo_tpu.ops import ransac as ransac_ops
+        from slideo_tpu.ops import select as select_ops
+        import jax.numpy as jnp_
+
+        def prefix_select(fr, seeds, idx):
+            def one(args):
+                f, seed = args
+                atlas = F.build_pyramid(f, cfg.orb)
+                kps = F.detect_pyramid(atlas, meta, cfg.orb)
+                feats = F.describe(atlas, meta, kps, q, cfg.orb)
+                t = hamming.match_table_frame(
+                    feats.desc, feats.score, idx.desc_index, n_slides, k_per,
+                    cfg.match, with_train=False)
+                tfs = lambda sids: hamming.train_ids_for_slides(
+                    feats.desc, idx.desc_index, sids, k_per)
+                cands = select_ops.select_candidates_table(
+                    t, feats.valid, cfg.match, train_for_slides=tfs)
+                acc = (cands.counts.sum() + cands.query_ids.sum()
+                       + cands.train_ids.sum())
+                if not with_ransac:
+                    return acc
+                cand_pts = jnp_.take(idx.pts, cands.slide_ids, axis=0)
+                src = jnp_.take_along_axis(
+                    cand_pts, cands.train_ids[..., None], axis=1)
+                dst = jnp_.take(feats.pts, cands.query_ids, axis=0)
+                valid = cands.match_valid & cands.cand_valid[:, None]
+                key = jax.random.fold_in(
+                    jax.random.key(cfg.match.ransac_seed), seed)
+                rr = ransac_ops.ransac_similarity(src, dst, valid, key, cfg.match)
+                return acc + rr.rating.sum()
+            return jax.lax.map(one, (fr, seeds))
+        return prefix_select
 
     def full(fr, seeds, idx):
         return orb_matcher.match_frames(fr, seeds, idx, hw, cfg).slide
@@ -108,6 +142,8 @@ def main():
         ("describe2048", make_prefix_describe(2048)),
         ("table768", make_prefix_table(768)),
         ("table2048", make_prefix_table(2048)),
+        ("select2048", make_prefix_select(2048)),
+        ("ransac2048", make_prefix_select(2048, with_ransac=True)),
         ("full_match", full),
     ]
 
