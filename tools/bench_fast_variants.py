@@ -1,0 +1,299 @@
+"""Microbench: FAST kernel variants on the real atlas shape (TPU).
+
+Times a batch of 8 frames' atlases through variant kernels via lax.map, with
+distinct uint8 1080p frames upstream (build_pyramid included) so numbers are
+comparable to the pipeline's detect stage. Variants:
+  copyonly   — DMA bands in, write them out (grid/DMA floor)
+  current    — ops/pallas_fast.fast_scores_pallas as-is
+  f32inc     — float32 planes, incremental seg_reduce
+  f32log     — float32 planes, log-cascade seg_reduce
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from functools import partial
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bench import synthesize
+from slideo_tpu.config import DEFAULT_CONFIG
+from slideo_tpu.ops import features as F
+from slideo_tpu.ops.fast import CIRCLE_OFFSETS
+from slideo_tpu.ops.pallas_fast import HALO, fast_scores_pallas
+from slideo_tpu.utils.compile_cache import enable_compilation_cache
+
+
+def _kernel_var(
+    x_hbm, out_ref, scratch, sem, *,
+    threshold, band, width, height, true_width, mode, cdtype,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copy(slot, b):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * band, band + 2 * HALO), :],
+            scratch.at[slot], sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        copy((i + 1) % 2, i + 1).start()
+
+    copy(i % 2, i).wait()
+    x = scratch[i % 2]
+    h = band + 2 * HALO
+    w = width + 2 * HALO
+
+    if mode == "copyonly":
+        out_ref[:] = jax.lax.slice(x, (HALO, HALO), (HALO + band, HALO + width))
+        return
+
+    ch, cw = h - 6, w - 6
+    center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
+
+    def tap(dy, dx):
+        return jax.lax.slice(x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw))
+
+    diffs = [(tap(dy, dx) - center).astype(cdtype) for (dy, dx) in CIRCLE_OFFSETS]
+
+    if mode == "log":
+        def seg_reduce(op, outer):
+            w2 = [op(diffs[s], diffs[(s + 1) % 16]) for s in range(16)]
+            w4 = [op(w2[s], w2[(s + 2) % 16]) for s in range(16)]
+            w8 = [op(w4[s], w4[(s + 4) % 16]) for s in range(16)]
+            w9 = [op(w8[s], diffs[(s + 8) % 16]) for s in range(16)]
+            acc = w9[0]
+            for s in range(1, 16):
+                acc = outer(acc, w9[s])
+            return acc
+    else:
+        def seg_reduce(op, outer):
+            acc = None
+            for s0 in range(16):
+                m = diffs[s0]
+                for j in range(1, 9):
+                    m = op(m, diffs[(s0 + j) % 16])
+                acc = m if acc is None else outer(acc, m)
+            return acc
+
+    bright = seg_reduce(jnp.minimum, jnp.maximum)
+    dark = -seg_reduce(jnp.maximum, jnp.minimum)
+    score = jnp.maximum(bright, dark).astype(jnp.float32)
+    score = jnp.where(score > threshold, score, 0.0)
+
+    band_start = pl.program_id(0) * band
+    gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
+    gx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1) - 1
+    ring_ok = (gy >= 3) & (gy < height - 3) & (gx >= 3) & (gx < true_width - 3)
+    score = jnp.where(ring_ok, score, 0.0)
+
+    def nbr(dy, dx):
+        return jax.lax.slice(score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + width))
+
+    s0 = nbr(0, 0)
+    neigh = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = nbr(dy, dx)
+            neigh = nb if neigh is None else jnp.maximum(neigh, nb)
+    out_ref[:] = jnp.where(s0 >= neigh, s0, 0.0)
+
+
+def variant_scores(img, threshold, band, mode, cdtype):
+    h, w = img.shape
+    pad_h = (-h) % band
+    w_out = w + ((-w) % 128)
+    w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    x = jnp.pad(img.astype(jnp.float32), ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)))
+    n_bands = (h + pad_h) // band
+    out = pl.pallas_call(
+        partial(_kernel_var, threshold=float(threshold), band=band, width=w_out,
+                height=h, true_width=w, mode=mode, cdtype=cdtype),
+        out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((band, w_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, band + 2 * HALO, w_in), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x)
+    return out[:h, :w]
+
+
+def main():
+    enable_compilation_cache()
+    cfg = DEFAULT_CONFIG
+    hw = (1080, 1920)
+    B, ITERS = 8, 3
+    _, frames = synthesize(4, hw, hw, B * (ITERS + 1))
+
+    variants = [
+        ("copyonly b16", lambda a: variant_scores(a, 20, 16, "copyonly", jnp.float32)),
+        ("current  b16", lambda a: fast_scores_pallas(a, 20)),
+        ("f32inc   b16", lambda a: variant_scores(a, 20, 16, "inc", jnp.float32)),
+        ("f32log   b8 ", lambda a: variant_scores(a, 20, 8, "log", jnp.float32)),
+        ("f32inc   b32", lambda a: variant_scores(a, 20, 32, "inc", jnp.float32)),
+        ("bf16inc  b16", lambda a: variant_scores(a, 20, 16, "inc", jnp.bfloat16)),
+    ]
+    for name, fn in variants:
+        def run(fr, f=fn):
+            def one(im):
+                atlas = F.build_pyramid(im, cfg.orb)
+                return jnp.sum(f(atlas))
+            return jax.lax.map(one, fr)
+        try:
+            jf = jax.jit(run)
+            batches = [jnp.asarray(frames[i * B:(i + 1) * B]) for i in range(ITERS + 1)]
+            t0 = time.time(); ref = np.asarray(jf(batches[0])); comp = time.time() - t0
+            ts = []
+            for i in range(1, ITERS + 1):
+                t0 = time.time(); np.asarray(jf(batches[i])); ts.append(time.time() - t0)
+            print(f"{name}  {min(ts)*1000/B:7.2f} ms/frame (batch {min(ts)*1000:.0f} ms, "
+                  f"compile {comp:.0f}s, check {ref[0]:.0f})", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
+
+
+# ---- BlockSpec-pipelined variant: halo via 3 shifted input views ----
+
+def _kernel_bs(xp_ref, xc_ref, xn_ref, out_ref, *,
+               threshold, band, width, height, true_width, mode, cdtype):
+    i = pl.program_id(0)
+    x = jnp.concatenate(
+        [xp_ref[band - HALO:], xc_ref[:], xn_ref[:HALO]], axis=0
+    )  # [band + 2*HALO, w]
+    h = band + 2 * HALO
+    w = width + 2 * HALO
+    ch, cw = h - 6, w - 6
+    center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
+
+    def tap(dy, dx):
+        return jax.lax.slice(x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw))
+
+    diffs = [(tap(dy, dx) - center).astype(cdtype) for (dy, dx) in CIRCLE_OFFSETS]
+
+    if mode == "log":
+        def seg_reduce(op, outer):
+            w2 = [op(diffs[s], diffs[(s + 1) % 16]) for s in range(16)]
+            w4 = [op(w2[s], w2[(s + 2) % 16]) for s in range(16)]
+            w8 = [op(w4[s], w4[(s + 4) % 16]) for s in range(16)]
+            w9 = [op(w8[s], diffs[(s + 8) % 16]) for s in range(16)]
+            acc = w9[0]
+            for s in range(1, 16):
+                acc = outer(acc, w9[s])
+            return acc
+    else:
+        def seg_reduce(op, outer):
+            acc = None
+            for s0 in range(16):
+                m = diffs[s0]
+                for j in range(1, 9):
+                    m = op(m, diffs[(s0 + j) % 16])
+                acc = m if acc is None else outer(acc, m)
+            return acc
+
+    bright = seg_reduce(jnp.minimum, jnp.maximum)
+    dark = -seg_reduce(jnp.maximum, jnp.minimum)
+    score = jnp.maximum(bright, dark).astype(jnp.float32)
+    score = jnp.where(score > threshold, score, 0.0)
+
+    band_start = i * band
+    gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
+    gx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1) - 1
+    ring_ok = (gy >= 3) & (gy < height - 3) & (gx >= 3) & (gx < true_width - 3)
+    score = jnp.where(ring_ok, score, 0.0)
+
+    def nbr(dy, dx):
+        return jax.lax.slice(score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + width))
+
+    s0 = nbr(0, 0)
+    neigh = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = nbr(dy, dx)
+            neigh = nb if neigh is None else jnp.maximum(neigh, nb)
+    out_ref[:] = jnp.where(s0 >= neigh, s0, 0.0)
+
+
+def variant_scores_bs(img, threshold, band, mode, cdtype):
+    h, w = img.shape
+    pad_h = (-h) % band
+    w_out = w + ((-w) % 128)
+    x = jnp.pad(img.astype(jnp.float32), ((0, pad_h), (HALO, w_out - w - HALO)))
+    hp = h + pad_h
+    n_bands = hp // band
+    spec = lambda off: pl.BlockSpec(
+        (band, w_out + 2 * HALO - ((w_out + 2 * HALO) % 128 and 0)), None)
+    w_in = x.shape[1]
+    def mk(offsets):
+        return pl.BlockSpec((band, w_in),
+                            lambda i, o=offsets: (jnp.clip(i + o, 0, n_bands - 1), 0),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_kernel_bs, threshold=float(threshold), band=band,
+                width=w_in - 2 * HALO, height=h, true_width=w, mode=mode,
+                cdtype=cdtype),
+        out_shape=jax.ShapeDtypeStruct((hp, w_in - 2 * HALO), jnp.float32),
+        grid=(n_bands,),
+        in_specs=[mk(-1), mk(0), mk(1)],
+        out_specs=pl.BlockSpec((band, w_in - 2 * HALO), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )(x, x, x)
+    return out[:h, :w]
+
+
+def main2():
+    enable_compilation_cache()
+    cfg = DEFAULT_CONFIG
+    hw = (1080, 1920)
+    B, ITERS = 8, 3
+    _, frames = synthesize(4, hw, hw, B * (ITERS + 1))
+    from slideo_tpu.ops import fast as fast_ops
+
+    variants = [
+        ("bs bf16log b32", lambda a: variant_scores_bs(a, 20, 32, "log", jnp.bfloat16)),
+        ("bs bf16inc b64", lambda a: variant_scores_bs(a, 20, 64, "inc", jnp.bfloat16)),
+        ("bs bf16inc b128", lambda a: variant_scores_bs(a, 20, 128, "inc", jnp.bfloat16)),
+        ("xla nms(fast) ", lambda a: fast_ops.nms3x3(fast_ops.fast_scores(a, 20))),
+    ]
+    for name, fn in variants:
+        def run(fr, f=fn):
+            def one(im):
+                atlas = F.build_pyramid(im, cfg.orb)
+                return jnp.sum(f(atlas))
+            return jax.lax.map(one, fr)
+        try:
+            jf = jax.jit(run)
+            batches = [jnp.asarray(frames[i * B:(i + 1) * B]) for i in range(ITERS + 1)]
+            t0 = time.time(); ref = np.asarray(jf(batches[0])); comp = time.time() - t0
+            ts = []
+            for i in range(1, ITERS + 1):
+                t0 = time.time(); np.asarray(jf(batches[i])); ts.append(time.time() - t0)
+            print(f"{name}  {min(ts)*1000/B:7.2f} ms/frame (batch {min(ts)*1000:.0f} ms, "
+                  f"compile {comp:.0f}s, check {ref[0]:.0f})", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
