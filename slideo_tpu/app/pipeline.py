@@ -143,8 +143,12 @@ def _index_cache_key(pages: list[PdfPage], cfg) -> str:
     from .hashing import hash_files, hash_str
 
     paths = [p.get_path() if hasattr(p, "get_path") else p.image_path for p in pages]
+    # The descriptor implementation differs per backend (TPU: fused Pallas
+    # kernel with binned angles; CPU: continuous-angle XLA path), so an
+    # index built on one backend must not be served to the other.
     parts = [
         f"v{_INDEX_FORMAT_VERSION}",
+        jax.default_backend(),
         cfg.engine,
         repr(cfg.orb),
         str(cfg.video.small_image_area),

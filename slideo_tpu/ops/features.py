@@ -297,10 +297,25 @@ def describe(
     y_hi = y_lo + jnp.take(jnp.asarray(heights), kps.level)
     x_hi = jnp.take(jnp.asarray(widths), kps.level)
 
-    patches = orb.extract_patches(atlas, y_abs, kps.x, y_lo, y_hi, x_hi)
-    cos, sin = orb.orientations(patches)
-    blurred = orb.blur_patches(patches, cfg.blur_ksize, cfg.blur_sigma)
-    desc = orb.descriptors(blurred, cos, sin, cfg.descriptor_bits, cfg.pattern_seed)
+    if jax.default_backend() == "tpu":
+        # Fused Pallas kernel: window DMA + orientation + blur-folded
+        # steered BRIEF in one pass (ops/pallas_orb.py; angle quantized to
+        # 32 bins like the original ORB paper's 12 deg). Slides and frames
+        # share the path, so matching stays internally consistent.
+        from .pallas_orb import orb_descriptors_pallas
+
+        desc = orb_descriptors_pallas(
+            atlas, y_abs, kps.x, y_lo, y_hi, x_hi,
+            cfg.descriptor_bits, cfg.pattern_seed,
+            cfg.blur_ksize, cfg.blur_sigma,
+        )
+    else:
+        patches = orb.extract_patches(atlas, y_abs, kps.x, y_lo, y_hi, x_hi)
+        cos, sin = orb.orientations(patches)
+        blurred = orb.blur_patches(patches, cfg.blur_ksize, cfg.blur_sigma)
+        desc = orb.descriptors(
+            blurred, cos, sin, cfg.descriptor_bits, cfg.pattern_seed
+        )
     desc = jnp.where(kps.valid[:, None], desc, jnp.int8(0))
 
     # Exact level->level0 affine map of the successive 1.2x resizes:

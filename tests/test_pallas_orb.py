@@ -1,0 +1,150 @@
+"""Interpret-mode parity tests for the fused ORB descriptor kernel.
+
+The kernel's contract (ops/pallas_orb.py): binned-angle steered BRIEF with
+blur folded into per-bin sampling tables. The numpy reference here
+re-implements those semantics independently (explicit window extraction,
+explicit Gaussian blur of the window, tent sampling at bin-center-rotated
+points) — agreement validates the kernel's DMA addressing, rolls, moment
+masks, sector search, and table algebra.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from slideo_tpu.ops import orb  # noqa: E402
+from slideo_tpu.ops.pallas_orb import (  # noqa: E402
+    ANGLE_BINS,
+    _CENTER_X,
+    _CENTER_Y,
+    _ROW0,
+    orb_descriptors_pallas,
+)
+
+
+def _gauss1d(ksize, sigma):
+    from slideo_tpu.ops.image import _gauss_kernel_1d
+
+    return _gauss_kernel_1d(ksize, sigma)
+
+
+def _reference_bits(atlas, y0, x0, n_bits=256, seed=0x51DE0, ksize=7, sigma=2.0):
+    """Numpy model of the kernel semantics for one keypoint patch at
+    (y0, x0) top-left. Returns (bits [n_bits] in {-1,+1}, margins)."""
+    # Window exactly as the kernel builds it: DMA from the 8-aligned block
+    # start, roll the patch top-left to (_ROW0, 0), keep [72, 128].
+    from slideo_tpu.ops.pallas_orb import WIN_H, WIN_W
+
+    yb = max(y0 - _ROW0, 0) // 8
+    xb = x0 // 128
+    pad = np.zeros((WIN_H + 8, WIN_W + 256), np.float64)
+    src = atlas[yb * 8: yb * 8 + WIN_H, xb * 128: xb * 128 + WIN_W]
+    pad[: src.shape[0], : src.shape[1]] = src
+    win = pad[:WIN_H, :WIN_W]
+    win = np.roll(win, (_ROW0 - (y0 - yb * 8)) % WIN_H, axis=0)
+    win = np.roll(win, (WIN_W - (x0 - xb * 128)) % WIN_W, axis=1)
+    win = win[:72, :128]
+
+    ys = np.arange(72, dtype=np.float64)[:, None] - _CENTER_Y
+    xs = np.arange(128, dtype=np.float64)[None, :] - _CENTER_X
+    disc = (ys * ys + xs * xs <= orb.HALF_PATCH**2).astype(np.float64)
+    m10 = float((win * disc * xs).sum())
+    m01 = float((win * disc * ys).sum())
+    theta = np.arctan2(m01, m10) % (2 * np.pi)
+    b = int(theta // (2 * np.pi / ANGLE_BINS)) % ANGLE_BINS
+    th = (b + 0.5) * 2 * np.pi / ANGLE_BINS
+    c, s = np.cos(th), np.sin(th)
+
+    g = _gauss1d(ksize, sigma).astype(np.float64)
+    half = ksize // 2
+    # Explicit blur (plain band, no reflection):
+    blurred = np.zeros_like(win)
+    for i in range(72):
+        for t in range(-half, half + 1):
+            j = i + t
+            if 0 <= j < 72:
+                blurred[i] += g[t + half] * win[j]
+    blurred2 = np.zeros_like(win)
+    for i in range(128):
+        for t in range(-half, half + 1):
+            j = i + t
+            if 0 <= j < 128:
+                blurred2[:, i] += g[t + half] * blurred[:, j]
+    blurred = blurred2
+
+    pat = orb.brief_pattern(n_bits, seed).astype(np.float64)
+    vals = np.zeros((n_bits, 2))
+    for n in range(n_bits):
+        for p in range(2):
+            px, py = pat[n, p, 0], pat[n, p, 1]
+            sx = c * px - s * py + _CENTER_X
+            sy = s * px + c * py + _CENTER_Y
+            ix, iy = int(np.floor(sx)), int(np.floor(sy))
+            fx, fy = sx - ix, sy - iy
+            vals[n, p] = (
+                blurred[iy, ix] * (1 - fy) * (1 - fx)
+                + blurred[iy, ix + 1] * (1 - fy) * fx
+                + blurred[iy + 1, ix] * fy * (1 - fx)
+                + blurred[iy + 1, ix + 1] * fy * fx
+            )
+    bits = np.where(vals[:, 1] > vals[:, 0], 1, -1)
+    return bits, np.abs(vals[:, 1] - vals[:, 0])
+
+
+def test_fused_descriptor_matches_reference_model():
+    rng = np.random.RandomState(3)
+    h, w = 160, 320
+    atlas = (rng.rand(h, w) * 255).astype(np.float32)
+    # Smooth it slightly so orientations are stable.
+    k = np.ones((3, 3)) / 9.0
+    from scipy import signal  # type: ignore
+
+    atlas = signal.convolve2d(atlas, k, mode="same").astype(np.float32)
+
+    n = 16
+    ys = rng.randint(orb.HALF_PATCH, h - orb.HALF_PATCH, n).astype(np.int32)
+    xs = rng.randint(orb.HALF_PATCH, w - orb.HALF_PATCH, n).astype(np.int32)
+    y_lo = np.zeros(n, np.int32)
+    y_hi = np.full(n, h, np.int32)
+    x_hi = np.full(n, w, np.int32)
+
+    bits = np.asarray(
+        orb_descriptors_pallas(
+            jnp.asarray(atlas), jnp.asarray(ys), jnp.asarray(xs),
+            jnp.asarray(y_lo), jnp.asarray(y_hi), jnp.asarray(x_hi),
+            interpret=True,
+        )
+    )
+    assert bits.shape == (n, 256)
+    total_disagree = 0
+    for i in range(n):
+        y0 = int(np.clip(ys[i] - orb.HALF_PATCH, 0, h - orb.PATCH))
+        x0 = int(np.clip(xs[i] - orb.HALF_PATCH, 0, w - orb.PATCH))
+        ref, margin = _reference_bits(atlas.astype(np.float64), y0, x0)
+        big = margin > 1.0  # clear-margin samples must agree exactly
+        assert (bits[i][big] == ref[big]).all(), i
+        total_disagree += int((bits[i] != ref).sum())
+    # Near-tie samples may flip under bf16 table arithmetic; keep it rare.
+    assert total_disagree <= n * 256 * 0.02, total_disagree
+
+
+def test_fused_descriptor_clamps_padded_slots():
+    rng = np.random.RandomState(0)
+    h, w = 140, 260
+    atlas = (rng.rand(h, w) * 255).astype(np.float32)
+    ys = jnp.asarray(np.array([0, 70], np.int32))
+    xs = jnp.asarray(np.array([0, 130], np.int32))
+    bits = orb_descriptors_pallas(
+        atlas=jnp.asarray(atlas),
+        ys=ys, xs=xs,
+        y_lo=jnp.zeros(2, jnp.int32),
+        y_hi=jnp.full((2,), h, jnp.int32),
+        x_hi=jnp.full((2,), w, jnp.int32),
+        interpret=True,
+    )
+    assert np.asarray(bits).shape == (2, 256)
+    assert set(np.unique(np.asarray(bits))) <= {-1, 1}
