@@ -105,13 +105,17 @@ class MatchConfig:
     # tests/test_fidelity_oracle.py screened-vs-exact A/B and
     # tests/test_hamming.py screening recall tests.
     screen_above_slides: int = 96   # screen when the deck has more slides than this
-    screen_slides: int = 64         # candidate slides surviving stage-1 screening
+    screen_slides: int = 24         # candidate slides surviving stage-1 screening
+                                    # (tools/ab_screen.py: 128-bit prefix
+                                    # screening matches exact assignments
+                                    # 96/96 at 500 slides down to 16; 24
+                                    # keeps margin)
     screen_mode: str = "prefix"     # "prefix" (full-K recall) | "sketch" (cheap)
     screen_bits: int = 128          # descriptor prefix bits ("prefix" mode;
                                     # 128 keeps stage 1 on the fused Pallas
                                     # kernel — lane-aligned — and buys recall)
     screen_sketch_k: int = 128      # sketch descriptors per slide ("sketch" mode)
-    screen_queries: int = 512       # strongest frame keypoints used for screening
+    screen_queries: int = 384       # strongest frame keypoints used for screening
     knn_chunk: int = 65536          # index descriptors per top-k scan chunk
 
 

@@ -112,10 +112,26 @@ def warp_similarity(
     t = transforms
     fx = t.a[:, None, None] * gx - t.b[:, None, None] * gy + t.tx[:, None, None]
     fy = t.b[:, None, None] * gx + t.a[:, None, None] * gy + t.ty[:, None, None]
-    sx_ = ((fx + 0.5) * inv_fx - 0.5).reshape(-1)   # [T*P]
-    sy_ = ((fy + 0.5) * inv_fy - 0.5).reshape(-1)
-    warped = _bilinear_image(frame_small, sx_, sy_, chunk=chunk)
-    warped = warped.reshape(-1, out_h, out_w)       # [T, oh, ow]
+    sxp = (fx + 0.5) * inv_fx - 0.5                 # [T, oh, ow]
+    syp = (fy + 0.5) * inv_fy - 0.5
+    n_t = sxp.shape[0]
+    if jax.default_backend() == "tpu":
+        # On-chip sampling kernel (ops/pallas_warp.py): tent matmuls stay in
+        # VMEM instead of streaming [chunk, W] profiles through HBM.
+        from .pallas_warp import bilinear_sample_pallas
+
+        sx2 = sxp.reshape(n_t, -1)
+        sy2 = syp.reshape(n_t, -1)
+        inb = (
+            (sx2 >= 0) & (sx2 <= fsw - 1) & (sy2 >= 0) & (sy2 <= fsh - 1)
+        )
+        vals = bilinear_sample_pallas(frame_small, sx2, sy2)
+        warped = jnp.where(inb, vals, 0.0).reshape(n_t, out_h, out_w)
+    else:
+        warped = _bilinear_image(
+            frame_small, sxp.reshape(-1), syp.reshape(-1), chunk=chunk
+        )
+        warped = warped.reshape(-1, out_h, out_w)   # [T, oh, ow]
 
     smalls = jnp.take(slide_smalls, cand_slide_ids, axis=0)[:, ::stride, ::stride]
     return jax.vmap(lambda w, s: compute_similarity(w, s, channels=1))(
