@@ -80,13 +80,23 @@ class Keypoints(NamedTuple):
 class PyramidMeta(NamedTuple):
     """Static (trace-time) pyramid geometry for one image size.
 
-    sizes:   per-level (h, w)
-    offsets: per-level row offset of the level inside the atlas
-    atlas_hw: (sum of level heights, level-0 width)
+    sizes:    per-level (h, w)
+    offsets:  per-level row offset of the level inside the atlas
+    xoffsets: per-level column offset (levels are shelf-packed side by side
+              where they fit — a level-0-width column per level wastes ~30%
+              of the FAST/score sweep on zero padding)
+    atlas_hw: (packed height, level-0 width)
+
+    Packing safety: all per-level consumers mask a >=62 px border
+    (edge_threshold) before using scores, and FAST/NMS influence reaches
+    only 4 px, so adjacent levels never contaminate each other's usable
+    pixels even with zero gap; descriptor windows sample >=6 px inside the
+    patch, so their blur taps stay within the level too.
     """
 
     sizes: tuple[tuple[int, int], ...]
     offsets: tuple[int, ...]
+    xoffsets: tuple[int, ...]
     atlas_hw: tuple[int, int]
 
 
@@ -105,13 +115,32 @@ def level_sizes(h: int, w: int, cfg: OrbConfig) -> list[tuple[int, int]]:
 
 
 def pyramid_meta(h: int, w: int, cfg: OrbConfig) -> PyramidMeta:
+    """Shelf-pack the pyramid levels into a [Ha, w] atlas (greedy first-fit:
+    each level joins the first shelf with enough remaining width and height,
+    else opens a new shelf of its own height)."""
     sizes = tuple(level_sizes(h, w, cfg))
-    offsets = []
-    off = 0
-    for lh, _ in sizes:
-        offsets.append(off)
-        off += lh
-    return PyramidMeta(sizes=sizes, offsets=tuple(offsets), atlas_hw=(off, w))
+    offsets = [0]
+    xoffsets = [0]
+    shelves: list[list[int]] = []  # [row_start, height, x_cursor]
+    row = sizes[0][0]
+    for lh, lw in sizes[1:]:
+        placed = False
+        for shelf in shelves:
+            if lh <= shelf[1] and shelf[2] + lw <= w:
+                offsets.append(shelf[0])
+                xoffsets.append(shelf[2])
+                shelf[2] += lw
+                placed = True
+                break
+        if not placed:
+            shelves.append([row, lh, lw])
+            offsets.append(row)
+            xoffsets.append(0)
+            row += lh
+    return PyramidMeta(
+        sizes=sizes, offsets=tuple(offsets), xoffsets=tuple(xoffsets),
+        atlas_hw=(row, w),
+    )
 
 
 def _pattern_65() -> np.ndarray:
@@ -189,10 +218,12 @@ def build_pyramid(img: jax.Array, cfg: OrbConfig) -> jax.Array:
     meta = pyramid_meta(h, w, cfg)
     atlas = jnp.zeros(meta.atlas_hw, jnp.float32)
     prev = img.astype(jnp.float32)
-    for lvl, ((lh, lw), off) in enumerate(zip(meta.sizes, meta.offsets)):
+    for lvl, ((lh, lw), off, xoff) in enumerate(
+        zip(meta.sizes, meta.offsets, meta.xoffsets)
+    ):
         if lvl > 0:
             prev = resize_65(prev)
-        atlas = jax.lax.dynamic_update_slice(atlas, prev, (off, 0))
+        atlas = jax.lax.dynamic_update_slice(atlas, prev, (off, xoff))
     return atlas
 
 
@@ -217,8 +248,8 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
     score_atlas = fast.score_map(atlas, cfg.fast_threshold)
     border = cfg.edge_threshold
     parts: list[Keypoints] = []
-    for lvl, ((lh, lw), off, quota) in enumerate(
-        zip(meta.sizes, meta.offsets, quotas)
+    for lvl, ((lh, lw), off, xoff, quota) in enumerate(
+        zip(meta.sizes, meta.offsets, meta.xoffsets, quotas)
     ):
         if quota <= 0:
             continue
@@ -234,7 +265,7 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
                 )
             )
             continue
-        score = jax.lax.slice(score_atlas, (off, 0), (off + lh, lw))
+        score = jax.lax.slice(score_atlas, (off, xoff), (off + lh, xoff + lw))
         ys_g = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 0)
         xs_g = jax.lax.broadcasted_iota(jnp.int32, (lh, lw), 1)
         inb = (
@@ -288,14 +319,17 @@ def describe(
         kps = Keypoints(*(jnp.take(f, sel) for f in kps))
 
     offsets = np.asarray(meta.offsets, np.int32)
+    xoffsets = np.asarray(meta.xoffsets, np.int32)
     heights = np.asarray([s[0] for s in meta.sizes], np.int32)
     widths = np.asarray([s[1] for s in meta.sizes], np.int32)
-    # Atlas-absolute center rows; clamping in extract_patches must stay
+    # Atlas-absolute center coords; clamping in extract_patches must stay
     # inside the keypoint's own level, so pass per-keypoint slice bounds.
-    y_abs = kps.y + jnp.take(jnp.asarray(offsets), kps.level)
     y_lo = jnp.take(jnp.asarray(offsets), kps.level)
+    y_abs = kps.y + y_lo
     y_hi = y_lo + jnp.take(jnp.asarray(heights), kps.level)
-    x_hi = jnp.take(jnp.asarray(widths), kps.level)
+    x_lo = jnp.take(jnp.asarray(xoffsets), kps.level)
+    x_abs = kps.x + x_lo
+    x_hi = x_lo + jnp.take(jnp.asarray(widths), kps.level)
 
     if jax.default_backend() == "tpu":
         # Fused Pallas kernel: window DMA + orientation + blur-folded
@@ -305,12 +339,15 @@ def describe(
         from .pallas_orb import orb_descriptors_pallas
 
         desc = orb_descriptors_pallas(
-            atlas, y_abs, kps.x, y_lo, y_hi, x_hi,
+            atlas, y_abs, x_abs, y_lo, y_hi, x_hi,
             cfg.descriptor_bits, cfg.pattern_seed,
             cfg.blur_ksize, cfg.blur_sigma,
+            x_lo=x_lo,
         )
     else:
-        patches = orb.extract_patches(atlas, y_abs, kps.x, y_lo, y_hi, x_hi)
+        patches = orb.extract_patches(
+            atlas, y_abs, x_abs, y_lo, y_hi, x_hi, x_lo
+        )
         cos, sin = orb.orientations(patches)
         blurred = orb.blur_patches(patches, cfg.blur_ksize, cfg.blur_sigma)
         desc = orb.descriptors(

@@ -68,15 +68,16 @@ def extract_patches(
     y_lo: jax.Array | None = None,
     y_hi: jax.Array | None = None,
     x_hi: jax.Array | None = None,
+    x_lo: jax.Array | None = None,
 ) -> jax.Array:
     """Extract [K, PATCH, PATCH] patches centered at integer (ys, xs).
 
     Centers are assumed >= HALF_PATCH from every edge (the detector's
     edge_threshold=62 border guarantee, > HALF_PATCH); invalid (padded)
     keypoints clamp harmlessly.  When ``img`` is a pyramid *atlas* (levels
-    stacked at row offsets), the optional per-keypoint bounds keep padded
-    slots' slices inside their own level — valid keypoints never need the
-    clamp.
+    shelf-packed at row/column offsets), the optional per-keypoint bounds
+    keep padded slots' slices inside their own level — valid keypoints
+    never need the clamp.
     """
     h, w = img.shape
     if y_lo is None:
@@ -85,13 +86,15 @@ def extract_patches(
         y_hi = jnp.full_like(ys, h)
     if x_hi is None:
         x_hi = jnp.full_like(xs, w)
+    if x_lo is None:
+        x_lo = jnp.zeros_like(xs)
 
-    def one(y, x, ylo, yhi, xhi):
+    def one(y, x, ylo, yhi, xlo, xhi):
         y0 = jnp.clip(y - HALF_PATCH, ylo, jnp.maximum(yhi - PATCH, ylo))
-        x0 = jnp.clip(x - HALF_PATCH, 0, jnp.maximum(xhi - PATCH, 0))
+        x0 = jnp.clip(x - HALF_PATCH, xlo, jnp.maximum(xhi - PATCH, xlo))
         return jax.lax.dynamic_slice(img, (y0, x0), (PATCH, PATCH))
 
-    return jax.vmap(one)(ys, xs, y_lo, y_hi, x_hi)
+    return jax.vmap(one)(ys, xs, y_lo, y_hi, x_lo, x_hi)
 
 
 def orientations(patches: jax.Array) -> tuple[jax.Array, jax.Array]:

@@ -207,6 +207,7 @@ def orb_descriptors_pallas(
     blur_ksize: int = 7,
     blur_sigma: float = 2.0,
     interpret: bool = False,
+    x_lo: jax.Array | None = None,
 ) -> jax.Array:
     """Fused descriptors of keypoints at integer (ys, xs) on a [Ha, W] atlas.
 
@@ -218,15 +219,17 @@ def orb_descriptors_pallas(
     """
     ha, w_atlas = atlas.shape
     k = ys.shape[0]
+    if x_lo is None:
+        x_lo = jnp.zeros_like(xs)
     kp_pad = (-k) % KB
     if kp_pad:
         z = lambda arr: jnp.pad(arr, ((0, kp_pad),))
-        ys, xs = z(ys), z(xs)
+        ys, xs, x_lo = z(ys), z(xs), z(x_lo)
         y_lo, y_hi, x_hi = z(y_lo), jnp.pad(y_hi, ((0, kp_pad),), constant_values=PATCH), jnp.pad(x_hi, ((0, kp_pad),), constant_values=PATCH)
     kp = k + kp_pad
 
     y0 = jnp.clip(ys - HALF_PATCH, y_lo, jnp.maximum(y_hi - PATCH, y_lo))
-    x0 = jnp.clip(xs - HALF_PATCH, 0, jnp.maximum(x_hi - PATCH, 0))
+    x0 = jnp.clip(xs - HALF_PATCH, x_lo, jnp.maximum(x_hi - PATCH, x_lo))
     yb = jnp.maximum(y0 - _ROW0, 0) // 8
     r0 = y0 - yb * 8
     rr = (_ROW0 - r0) % WIN_H          # positive modular row roll
