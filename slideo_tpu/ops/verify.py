@@ -173,9 +173,21 @@ def warp_similarity_homography(
     grid = jnp.stack([gx, gy], axis=-1)
 
     f = jax.vmap(lambda h: apply_homography(Homography(h), grid))(transforms.h)
-    sx_ = ((f[..., 0] + 0.5) * inv_fx - 0.5).reshape(-1)   # [T*P]
-    sy_ = ((f[..., 1] + 0.5) * inv_fy - 0.5).reshape(-1)
-    warped = _bilinear_image(frame_small, sx_, sy_).reshape(-1, out_h, out_w)
+    sxp = (f[..., 0] + 0.5) * inv_fx - 0.5                 # [T, oh, ow]
+    syp = (f[..., 1] + 0.5) * inv_fy - 0.5
+    n_t = sxp.shape[0]
+    if jax.default_backend() == "tpu":
+        from .pallas_warp import bilinear_sample_pallas
+
+        sx2 = sxp.reshape(n_t, -1)
+        sy2 = syp.reshape(n_t, -1)
+        inb = (sx2 >= 0) & (sx2 <= fsw - 1) & (sy2 >= 0) & (sy2 <= fsh - 1)
+        vals = bilinear_sample_pallas(frame_small, sx2, sy2)
+        warped = jnp.where(inb, vals, 0.0).reshape(n_t, out_h, out_w)
+    else:
+        warped = _bilinear_image(
+            frame_small, sxp.reshape(-1), syp.reshape(-1)
+        ).reshape(-1, out_h, out_w)
     smalls = jnp.take(slide_smalls, cand_slide_ids, axis=0)[:, ::stride, ::stride]
     return jax.vmap(lambda w, s: compute_similarity(w, s, channels=1))(
         warped, smalls

@@ -297,3 +297,193 @@ def main2():
                   f"compile {comp:.0f}s, check {ref[0]:.0f})", flush=True)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+
+# ---- Two-phase variant: compass score bound + per-chunk cascade skip ----
+#
+# Exact pruning: any 9-window of the 16-circle contains two CONSECUTIVE
+# compass points (spacing 4), so
+#   bright = max_s min_{w9(s)} d  <=  max_c min(d_c, d_{c+4}),  c in {0,4,8,12}
+#   dark   = -min_s max_{w9(s)} d <= -min_c max(d_c, d_{c+4})
+# If both bounds are <= threshold the pixel's score thresholds to 0 and the
+# full cascade can be skipped. Skipping is per lane-chunk (pl.when).
+
+def _kernel_skip(x_hbm, out_ref, scratch, sem, *,
+                 threshold, band, width, height, true_width, chunk_w, cdtype):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copy(slot, b):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * band, band + 2 * HALO), :],
+            scratch.at[slot], sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        copy((i + 1) % 2, i + 1).start()
+
+    copy(i % 2, i).wait()
+    xb = scratch[i % 2]
+    band_start = i * band
+
+    n_chunks = width // chunk_w
+    for ci in range(n_chunks):
+        # chunk columns [ci*chunk_w, ci*chunk_w + chunk_w) of the OUTPUT;
+        # input needs the 2*HALO halo.
+        x = jax.lax.slice(
+            xb, (0, ci * chunk_w), (band + 2 * HALO, ci * chunk_w + chunk_w + 2 * HALO)
+        )
+        h = band + 2 * HALO
+        ch, cw = h - 6, chunk_w + 2 * HALO - 6
+        center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
+
+        def tap(dy, dx):
+            return jax.lax.slice(x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw))
+
+        d0 = (tap(-3, 0) - center).astype(cdtype)
+        d4 = (tap(0, 3) - center).astype(cdtype)
+        d8 = (tap(3, 0) - center).astype(cdtype)
+        d12 = (tap(0, -3) - center).astype(cdtype)
+        bb = jnp.maximum(
+            jnp.maximum(jnp.minimum(d0, d4), jnp.minimum(d4, d8)),
+            jnp.maximum(jnp.minimum(d8, d12), jnp.minimum(d12, d0)),
+        )
+        db = -jnp.minimum(
+            jnp.minimum(jnp.maximum(d0, d4), jnp.maximum(d4, d8)),
+            jnp.minimum(jnp.maximum(d8, d12), jnp.maximum(d12, d0)),
+        )
+        thr = cdtype(threshold) if cdtype != jnp.bfloat16 else jnp.bfloat16(threshold)
+        cand = jnp.any((bb > thr) | (db > thr))
+
+        out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.zeros(
+            (band, chunk_w), jnp.float32)
+
+        @pl.when(cand)
+        def _(x=x, ch=ch, cw=cw, center=center, tap=tap, ci=ci,
+              d0=d0, d4=d4, d8=d8, d12=d12):
+            diffs = []
+            for (dy, dx) in CIRCLE_OFFSETS:
+                if (dy, dx) == (-3, 0):
+                    diffs.append(d0)
+                elif (dy, dx) == (0, 3):
+                    diffs.append(d4)
+                elif (dy, dx) == (3, 0):
+                    diffs.append(d8)
+                elif (dy, dx) == (0, -3):
+                    diffs.append(d12)
+                else:
+                    diffs.append((tap(dy, dx) - center).astype(cdtype))
+
+            def seg_reduce(op, outer):
+                suf = list(diffs)
+                for blk in (0, 8):
+                    for s in range(blk + 6, blk - 1, -1):
+                        suf[s] = op(diffs[s], suf[s + 1])
+                pre = list(diffs)
+                for blk in (0, 8):
+                    for j in range(blk + 1, blk + 8):
+                        pre[j] = op(pre[j - 1], diffs[j])
+                acc = None
+                for s in range(16):
+                    w9 = op(suf[s], pre[(s + 8) % 16])
+                    acc = w9 if acc is None else outer(acc, w9)
+                return acc
+
+            bright = seg_reduce(jnp.minimum, jnp.maximum)
+            dark = -seg_reduce(jnp.maximum, jnp.minimum)
+            score = jnp.maximum(bright, dark).astype(jnp.float32)
+            score = jnp.where(score > threshold, score, 0.0)
+
+            gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
+            gx = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+                  + ci * chunk_w - 1)
+            ring_ok = ((gy >= 3) & (gy < height - 3)
+                       & (gx >= 3) & (gx < true_width - 3))
+            score = jnp.where(ring_ok, score, 0.0)
+
+            def nbr(dy, dx):
+                return jax.lax.slice(
+                    score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + chunk_w))
+
+            s0 = nbr(0, 0)
+            neigh = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    nb = nbr(dy, dx)
+                    neigh = nb if neigh is None else jnp.maximum(neigh, nb)
+            out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.where(
+                s0 >= neigh, s0, 0.0)
+
+
+def variant_scores_skip(img, threshold, band, chunk_w, cdtype):
+    h, w = img.shape
+    pad_h = (-h) % band
+    w_out = w + ((-w) % chunk_w)
+    w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    x = jnp.pad(img.astype(jnp.float32),
+                ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)))
+    n_bands = (h + pad_h) // band
+    out = pl.pallas_call(
+        partial(_kernel_skip, threshold=float(threshold), band=band,
+                width=w_out, height=h, true_width=w, chunk_w=chunk_w,
+                cdtype=cdtype),
+        out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((band, w_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, band + 2 * HALO, w_in), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x)
+    return out[:h, :w]
+
+
+def main3():
+    enable_compilation_cache()
+    cfg = DEFAULT_CONFIG
+    hw = (1080, 1920)
+    B, ITERS = 8, 3
+    _, frames = synthesize(4, hw, hw, B * (ITERS + 1))
+
+    import sys as _sys
+    which = _sys.argv[1] if len(_sys.argv) > 1 else "all"
+    variants = [
+        ("vanherk  b16", lambda a: fast_scores_pallas(a, 20, band=16)),
+        ("vanherk  b32", lambda a: fast_scores_pallas(a, 20, band=32)),
+        ("vanherk  b64", lambda a: fast_scores_pallas(a, 20, band=64)),
+        ("skip b16 c512", lambda a: variant_scores_skip(a, 20, 16, 512, jnp.bfloat16)),
+        ("skip b16 c256", lambda a: variant_scores_skip(a, 20, 16, 256, jnp.bfloat16)),
+        ("skip b32 c512", lambda a: variant_scores_skip(a, 20, 32, 512, jnp.bfloat16)),
+    ]
+    if which != "all":
+        variants = [v for v in variants if which in v[0].replace(" ", "")]
+    ref_val = None
+    for name, fn in variants:
+        def run(fr, f=fn):
+            def one(im):
+                atlas = F.build_pyramid(im, cfg.orb)
+                return jnp.sum(f(atlas))
+            return jax.lax.map(one, fr)
+        try:
+            jf = jax.jit(run)
+            batches = [jnp.asarray(frames[i * B:(i + 1) * B]) for i in range(ITERS + 1)]
+            t0 = time.time(); ref = np.asarray(jf(batches[0])); comp = time.time() - t0
+            ts = []
+            for i in range(1, ITERS + 1):
+                t0 = time.time(); np.asarray(jf(batches[i])); ts.append(time.time() - t0)
+            if ref_val is None:
+                ref_val = ref[0]
+            agree = "OK" if abs(ref[0] - ref_val) < 1 else f"MISMATCH({ref[0]:.0f} vs {ref_val:.0f})"
+            print(f"{name}  {min(ts)*1000/B:7.2f} ms/frame (batch {min(ts)*1000:.0f} ms, "
+                  f"compile {comp:.0f}s, {agree})", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)

@@ -136,8 +136,8 @@ def make_full(step, assemble):
 
 def atlas_dus(levels, meta):
     atlas = jnp.zeros(meta.atlas_hw, jnp.float32)
-    for l, off in zip(levels, meta.offsets):
-        atlas = jax.lax.dynamic_update_slice(atlas, l, (off, 0))
+    for l, off, xoff in zip(levels, meta.offsets, meta.xoffsets):
+        atlas = jax.lax.dynamic_update_slice(atlas, l, (off, xoff))
     return atlas
 
 
