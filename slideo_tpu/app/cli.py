@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="video decode strategy (grab=reference-exact, seek=fast)")
     p.add_argument("--trace", action="store_true",
                    help="print per-stage timing after processing")
+    p.add_argument("--exact", action="store_true",
+                   help="disable large-deck screening: exact Hamming "
+                        "matching against every slide (fidelity mode; "
+                        "slower on decks beyond ~100 slides)")
     p.add_argument("--engine", choices=["orb", "sift"], default=None,
                    help="feature engine: orb (reference-faithful, default) or "
                         "sift (scale-invariant + homography, for camera "
@@ -81,6 +85,11 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.engine is not None:
         cfg = dataclasses.replace(cfg, engine=args.engine)
+    if args.exact:
+        cfg = dataclasses.replace(
+            cfg,
+            match=dataclasses.replace(cfg.match, screen_above_slides=1 << 30),
+        )
 
     try:
         checked = [CheckedPath.from_path(f) for f in args.files]

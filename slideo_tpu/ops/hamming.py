@@ -41,12 +41,18 @@ class DescriptorIndex(NamedTuple):
     slide_ids: [N] int32 slide of each descriptor
     train_ids: [N] int32 keypoint slot within its slide
     valid:     [N] bool
+    desc_t:    [S, D, K] int8 per-slide-transposed copy, or None. The fused
+               match-table kernel's fast path contracts (lhs [QB, D]) x
+               (rhs [D, K]) per slide with int8 MXU inputs — natural layout,
+               no in-kernel transpose or int8->bf16 relayout (both measured
+               20-40% slower; tools/bench_table_kernel.py).
     """
 
     desc: jax.Array
     slide_ids: jax.Array
     train_ids: jax.Array
     valid: jax.Array
+    desc_t: jax.Array | None = None
 
     @property
     def n_descriptors(self) -> int:
@@ -61,7 +67,8 @@ def build_index(slide_desc: jax.Array, slide_valid: jax.Array) -> DescriptorInde
     train_ids = jnp.tile(jnp.arange(k, dtype=jnp.int32), s)
     valid = slide_valid.reshape(s * k)
     desc = jnp.where(valid[:, None], desc, jnp.int8(0))
-    return DescriptorIndex(desc, slide_ids, train_ids, valid)
+    desc_t = jnp.swapaxes(desc.reshape(s, k, d), 1, 2)
+    return DescriptorIndex(desc, slide_ids, train_ids, valid, desc_t)
 
 
 def _chunked_topk_scores(
@@ -183,10 +190,18 @@ def match_table(
         from .pallas_table import match_table_scores_pallas
 
         bias = jnp.where(index.valid, 0.0, -1e6).astype(jnp.float32)
-        best, arg = match_table_scores_pallas(
-            query.astype(jnp.float32), index.desc, bias, n_slides,
-            k_per_slide, with_arg=with_train,
-        )
+        if not with_train and index.desc_t is not None:
+            # Fast path: per-slide-transposed int8 index, all-integer
+            # max-only kernel (see DescriptorIndex.desc_t).
+            best, arg = match_table_scores_pallas(
+                query, index.desc_t, bias, n_slides, k_per_slide,
+                with_arg=False, dtype=jnp.int8, transposed=True,
+            )
+        else:
+            best, arg = match_table_scores_pallas(
+                query.astype(jnp.float32), index.desc, bias, n_slides,
+                k_per_slide, with_arg=with_train,
+            )
         svalid = jnp.any(index.valid.reshape(n_slides, k_per_slide), axis=1)
         dist = (d_bits - best).astype(jnp.float32) * 0.5
         if slide_ids is None:
@@ -364,18 +379,27 @@ def match_table_frame(
 
     def slice_slide(c):
         row0 = c * k_per_slide
-        return (
+        out = (
             jax.lax.dynamic_slice(index.desc, (row0, 0), (k_per_slide, d_dim)),
             jax.lax.dynamic_slice(index.valid, (row0,), (k_per_slide,)),
         )
+        if index.desc_t is not None:
+            out += (
+                jax.lax.dynamic_slice(
+                    index.desc_t, (c, 0, 0), (1, d_dim, k_per_slide)
+                )[0],
+            )
+        return out
 
-    sub_desc, sub_valid = jax.lax.map(slice_slide, cand)
+    sliced = jax.lax.map(slice_slide, cand)
+    sub_desc, sub_valid = sliced[0], sliced[1]
     n_cand = cand.shape[0]
     sub = DescriptorIndex(
         desc=sub_desc.reshape(n_cand * k_per_slide, d_dim),
         slide_ids=jnp.repeat(cand, k_per_slide),
         train_ids=jnp.tile(jnp.arange(k_per_slide, dtype=jnp.int32), n_cand),
         valid=sub_valid.reshape(n_cand * k_per_slide),
+        desc_t=sliced[2] if index.desc_t is not None else None,
     )
     return match_table(
         query, sub, n_cand, k_per_slide, slide_ids=cand, with_train=with_train
@@ -443,6 +467,10 @@ def _screen_slides(
             slide_ids=index.slide_ids,
             train_ids=index.train_ids,
             valid=index.valid,
+            desc_t=(
+                index.desc_t[:, : cfg.screen_bits, :]
+                if index.desc_t is not None else None
+            ),
         )
         table = match_table(
             q_sub, prefix_index, n_slides, k_per_slide, chunk_slides=16,

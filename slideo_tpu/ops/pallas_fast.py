@@ -4,13 +4,22 @@ The XLA formulation (ops/fast.py) materializes 16 rolled copies of the image
 ([16, H, W]) and runs a multi-pass min/max cascade plus a separate NMS
 reduce_window — several full HBM round-trips. This kernel processes the
 image in VMEM-resident row bands with a 4-pixel halo: each band is DMA'd
-from HBM once, the 16 circle taps become static slices of the band, the
-9-window cascade and NMS stay on-chip, and each output element is written
-exactly once.
+from HBM once (double-buffered: band i+1's copy overlaps band i's compute),
+the 16 circle taps become static slices of the band, the 9-window cascade
+and NMS stay on-chip, and each output element is written exactly once.
 
 Band blocks overlap by 2*HALO rows, which BlockSpec's block-index mapping
 cannot express — the kernel keeps the input in HBM (memory_space=ANY) and
-issues its own async copy of [i*band, i*band + band + 2*HALO) into scratch.
+issues its own async copies into scratch.
+
+Compute form (measured across variants, tools/bench_fast_variants.py):
+- 9-window circular reductions via van Herk/Gil-Werman prefix/suffix chains
+  (59 vector ops per polarity vs 79 for the log cascade, ~34 live planes).
+- bf16 planes (f32 measured slightly slower; VPU op rate is otherwise
+  dtype-insensitive on v5e).
+- Wide bands (64 rows) with the compute chunked over 512-lane column
+  groups so per-chunk transients fit VMEM: fewer grid steps beat smaller
+  per-step footprints (band 16 unchunked was ~10% slower end-to-end).
 """
 
 from __future__ import annotations
@@ -32,19 +41,15 @@ HALO = 4  # 3 px circle radius + 1 px NMS neighborhood
 def _kernel(
     x_hbm, out_ref, scratch, sem, *,
     threshold: float, band: int, width: int, height: int, true_width: int,
+    chunk_w: int,
 ):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    # Double-buffered band prefetch: start band i+1's DMA before waiting on
-    # band i, so the HBM read of the next band overlaps this band's compute
-    # (the serial start+wait form stalls every grid step on DMA latency and
-    # was ~4x slower end-to-end).
     def copy(slot, b):
         return pltpu.make_async_copy(
             x_hbm.at[pl.ds(b * band, band + 2 * HALO), :],
-            scratch.at[slot],
-            sem.at[slot],
+            scratch.at[slot], sem.at[slot],
         )
 
     @pl.when(i == 0)
@@ -56,77 +61,88 @@ def _kernel(
         copy((i + 1) % 2, i + 1).start()
 
     copy(i % 2, i).wait()
-    x = scratch[i % 2]
+    xb = scratch[i % 2]
+    band_start = i * band
     h = band + 2 * HALO
-    w = width + 2 * HALO
 
-    # Scores on the inner region (one extra ring beyond the band for NMS).
-    ch, cw = h - 6, w - 6
-    center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
-
-    def tap(dy, dx):
-        return jax.lax.slice(x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw))
-
-    diffs = [
-        (tap(dy, dx) - center).astype(jnp.bfloat16) for (dy, dx) in CIRCLE_OFFSETS
-    ]
-
-    # Circular 9-window reductions via van Herk/Gil-Werman: per 8-block
-    # prefix/suffix chains, then window[s] = op(suffix[s], prefix[s+8]) —
-    # 59 vector ops per polarity vs the log cascade's 79 and the
-    # incremental form's 143, with only ~34 planes live (fits VMEM at the
-    # default band). Exact: same windows, same values.
-    def seg_reduce(op, outer):
-        # suffix[s] = op-reduce of diffs[s .. end of its 8-block]
-        suf = list(diffs)
-        for blk in (0, 8):
-            for s in range(blk + 6, blk - 1, -1):
-                suf[s] = op(diffs[s], suf[s + 1])
-        # prefix[j] = op-reduce of diffs[start of its 8-block .. j]
-        pre = list(diffs)
-        for blk in (0, 8):
-            for j in range(blk + 1, blk + 8):
-                pre[j] = op(pre[j - 1], diffs[j])
-        acc = None
-        for s in range(16):
-            w9 = op(suf[s], pre[(s + 8) % 16])
-            acc = w9 if acc is None else outer(acc, w9)
-        return acc
-
-    bright = seg_reduce(jnp.minimum, jnp.maximum)
-    dark = -seg_reduce(jnp.maximum, jnp.minimum)
-    score = jnp.maximum(bright, dark).astype(jnp.float32)
-    score = jnp.where(score > threshold, score, 0.0)
-
-    # Zero the global 3px image ring BEFORE NMS (parity with ops/fast.py:
-    # ring pixels must not suppress interior neighbors). score[i, j] maps to
-    # image row (band_start + i - 1), col (j - 1).
-    band_start = pl.program_id(0) * band
-    gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
-    gx = jax.lax.broadcasted_iota(jnp.int32, score.shape, 1) - 1
-    # true_width masks the lane-alignment padding columns as well as the ring.
-    ring_ok = (gy >= 3) & (gy < height - 3) & (gx >= 3) & (gx < true_width - 3)
-    score = jnp.where(ring_ok, score, 0.0)
-
-    # 3x3 NMS on the score plane; the extra ring in ch/cw feeds the borders.
-    def nbr(dy, dx):
-        return jax.lax.slice(
-            score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + width)
+    for ci in range(width // chunk_w):
+        x = jax.lax.slice(
+            xb, (0, ci * chunk_w),
+            (h, ci * chunk_w + chunk_w + 2 * HALO),
         )
+        ch, cw = h - 6, chunk_w + 2 * HALO - 6
+        center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
 
-    s0 = nbr(0, 0)
-    neigh = None
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            n = nbr(dy, dx)
-            neigh = n if neigh is None else jnp.maximum(neigh, n)
-    out_ref[:] = jnp.where(s0 >= neigh, s0, 0.0)
+        def tap(dy, dx):
+            return jax.lax.slice(
+                x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw)
+            )
+
+        diffs = [
+            (tap(dy, dx) - center).astype(jnp.bfloat16)
+            for (dy, dx) in CIRCLE_OFFSETS
+        ]
+
+        # Circular 9-window reductions via van Herk/Gil-Werman: per-8-block
+        # prefix/suffix chains, window[s] = op(suffix[s], prefix[s+8]).
+        def seg_reduce(op, outer):
+            suf = list(diffs)
+            for blk in (0, 8):
+                for s in range(blk + 6, blk - 1, -1):
+                    suf[s] = op(diffs[s], suf[s + 1])
+            pre = list(diffs)
+            for blk in (0, 8):
+                for j in range(blk + 1, blk + 8):
+                    pre[j] = op(pre[j - 1], diffs[j])
+            acc = None
+            for s in range(16):
+                w9 = op(suf[s], pre[(s + 8) % 16])
+                acc = w9 if acc is None else outer(acc, w9)
+            return acc
+
+        bright = seg_reduce(jnp.minimum, jnp.maximum)
+        dark = -seg_reduce(jnp.maximum, jnp.minimum)
+        score = jnp.maximum(bright, dark).astype(jnp.float32)
+        score = jnp.where(score > threshold, score, 0.0)
+
+        # Zero the global 3px image ring BEFORE NMS (parity with ops/fast.py:
+        # ring pixels must not suppress interior neighbors). score[r, c] maps
+        # to image row (band_start + r - 1), col (ci*chunk_w + c - 1).
+        gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
+        gx = (
+            jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+            + ci * chunk_w - 1
+        )
+        ring_ok = (
+            (gy >= 3) & (gy < height - 3) & (gx >= 3) & (gx < true_width - 3)
+        )
+        score = jnp.where(ring_ok, score, 0.0)
+
+        # 3x3 NMS on the score plane; the extra ring in ch/cw feeds borders.
+        def nbr(dy, dx):
+            return jax.lax.slice(
+                score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + chunk_w)
+            )
+
+        s0 = nbr(0, 0)
+        neigh = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = nbr(dy, dx)
+                neigh = nb if neigh is None else jnp.maximum(neigh, nb)
+        out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.where(
+            s0 >= neigh, s0, 0.0
+        )
 
 
 def fast_scores_pallas(
-    img: jax.Array, threshold: int, band: int = 16, interpret: bool = False
+    img: jax.Array,
+    threshold: int,
+    band: int = 64,
+    chunk_w: int = 512,
+    interpret: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score map of a [H, W] float32 image (Pallas kernel).
 
@@ -137,8 +153,8 @@ def fast_scores_pallas(
     pad_h = (-h) % band
     # Mosaic requires DMA slice shapes 128-aligned in the lane dimension;
     # pad the (halo-extended) width up to a multiple of 128. The output
-    # width must be lane-aligned too.
-    w_out = w + ((-w) % 128)
+    # width must be chunk-aligned too.
+    w_out = w + ((-w) % chunk_w)
     w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
     x = jnp.pad(
         img.astype(jnp.float32),
@@ -149,7 +165,7 @@ def fast_scores_pallas(
     out = pl.pallas_call(
         partial(
             _kernel, threshold=float(threshold), band=band, width=w_out,
-            height=h, true_width=w,
+            height=h, true_width=w, chunk_w=chunk_w,
         ),
         out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
         grid=(n_bands,),

@@ -61,14 +61,23 @@ def _slides_per_step(desc_itemsize: int, k_per_slide: int, d_bits: int) -> int:
 def _kernel_t(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
     """Transposed-index variant: desc_ref is [sb, D, K] — each slide's
     descriptors stored column-major so the MXU contraction is the natural
-    (lhs [QB, D]) x (rhs [D, K]) layout with no in-VMEM transpose."""
+    (lhs [QB, D]) x (rhs [D, K]) layout with no in-VMEM transpose.
+
+    In the max-only int8 mode (dtype int8, no arg_ref) everything stays
+    integer: int8 MXU inputs, int32 accumulation, int32 bias and max —
+    exact, and skips both the int8->bf16 relayout and the f32 score cast.
+    """
     q = q_ref[:]
+    int_mode = dtype == jnp.int8 and arg_ref is None
     acc_dtype = jnp.int32 if dtype == jnp.int8 else jnp.float32
     for j in range(sb):
         scores = jax.lax.dot_general(
             q, desc_ref[j].astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=acc_dtype,
         )                                             # [_QB, K]
+        if int_mode:
+            best_ref[j, :] = jnp.max(scores + bias_ref[j, 0, :][None, :], axis=1)
+            continue
         scores = scores.astype(jnp.float32) + bias_ref[j, 0, :][None, :]
         best_ref[j, :] = jnp.max(scores, axis=1)
         if arg_ref is not None:
@@ -140,16 +149,19 @@ def match_table_scores_pallas(
         query = jnp.pad(query, ((0, q_pad), (0, 0)))
     qp = q + q_pad
 
+    int_mode = dtype == jnp.int8 and not with_arg and transposed
     sb = _slides_per_step(desc.dtype.itemsize, k_per_slide, d_bits)
     s_pad = (-n_slides) % sb
     desc3 = (
         desc if transposed else desc.reshape(n_slides, k_per_slide, d_bits)
     )
-    bias2 = bias.astype(jnp.float32).reshape(n_slides, 1, k_per_slide)
+    bias_dtype = jnp.int32 if int_mode else jnp.float32
+    pad_bias = -(1 << 20) if int_mode else -1e6
+    bias2 = bias.astype(bias_dtype).reshape(n_slides, 1, k_per_slide)
     if s_pad:
         desc3 = jnp.pad(desc3, ((0, s_pad), (0, 0), (0, 0)))
         bias2 = jnp.pad(
-            bias2, ((0, s_pad), (0, 0), (0, 0)), constant_values=-1e6
+            bias2, ((0, s_pad), (0, 0), (0, 0)), constant_values=pad_bias
         )
     sp = n_slides + s_pad
 
@@ -178,7 +190,11 @@ def match_table_scores_pallas(
         out_shape=(
             jax.ShapeDtypeStruct((sp, qp), jnp.float32),
             jax.ShapeDtypeStruct((sp, qp), jnp.int32),
-        ) if with_arg else (jax.ShapeDtypeStruct((sp, qp), jnp.float32),),
+        ) if with_arg else (
+            jax.ShapeDtypeStruct(
+                (sp, qp), jnp.int32 if int_mode else jnp.float32
+            ),
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * d_bits * sp * k_per_slide,
             bytes_accessed=sp * k_per_slide * d_bits + 2 * sp * qp * 4,
@@ -189,4 +205,5 @@ def match_table_scores_pallas(
     if with_arg:
         best_t, arg_t = out
         return best_t.T[:q, :n_slides], arg_t.T[:q, :n_slides]
-    return out[0].T[:q, :n_slides], None
+    best_t = out[0].astype(jnp.float32) if int_mode else out[0]
+    return best_t.T[:q, :n_slides], None

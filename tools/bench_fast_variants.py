@@ -310,6 +310,8 @@ def main2():
 
 def _kernel_skip(x_hbm, out_ref, scratch, sem, *,
                  threshold, band, width, height, true_width, chunk_w, cdtype):
+    noskip = chunk_w < 0
+    chunk_w = abs(chunk_w)
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -357,15 +359,19 @@ def _kernel_skip(x_hbm, out_ref, scratch, sem, *,
             jnp.minimum(jnp.maximum(d0, d4), jnp.maximum(d4, d8)),
             jnp.minimum(jnp.maximum(d8, d12), jnp.maximum(d12, d0)),
         )
-        thr = cdtype(threshold) if cdtype != jnp.bfloat16 else jnp.bfloat16(threshold)
-        cand = jnp.any((bb > thr) | (db > thr))
+        # Scalar any() over an i1 vector trips a Mosaic relayout bug; a
+        # float max-reduce compiles fine.
+        if noskip:  # no-skip mode: always compute
+            cand = None
+        else:
+            cand = jnp.max(jnp.maximum(bb, db).astype(jnp.float32)) > threshold
 
-        out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.zeros(
-            (band, chunk_w), jnp.float32)
+        if cand is not None:
+            out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.zeros(
+                (band, chunk_w), jnp.float32)
 
-        @pl.when(cand)
-        def _(x=x, ch=ch, cw=cw, center=center, tap=tap, ci=ci,
-              d0=d0, d4=d4, d8=d8, d12=d12):
+        def _body(x=x, ch=ch, cw=cw, center=center, tap=tap, ci=ci,
+                  d0=d0, d4=d4, d8=d8, d12=d12):
             diffs = []
             for (dy, dx) in CIRCLE_OFFSETS:
                 if (dy, dx) == (-3, 0):
@@ -421,11 +427,16 @@ def _kernel_skip(x_hbm, out_ref, scratch, sem, *,
             out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.where(
                 s0 >= neigh, s0, 0.0)
 
+        if cand is None:
+            _body()
+        else:
+            pl.when(cand)(_body)
+
 
 def variant_scores_skip(img, threshold, band, chunk_w, cdtype):
     h, w = img.shape
     pad_h = (-h) % band
-    w_out = w + ((-w) % chunk_w)
+    w_out = w + ((-w) % abs(chunk_w))
     w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
     x = jnp.pad(img.astype(jnp.float32),
                 ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)))
@@ -463,6 +474,11 @@ def main3():
         ("skip b16 c512", lambda a: variant_scores_skip(a, 20, 16, 512, jnp.bfloat16)),
         ("skip b16 c256", lambda a: variant_scores_skip(a, 20, 16, 256, jnp.bfloat16)),
         ("skip b32 c512", lambda a: variant_scores_skip(a, 20, 32, 512, jnp.bfloat16)),
+        ("nosk b32 c512", lambda a: variant_scores_skip(a, 20, 32, -512, jnp.bfloat16)),
+        ("nosk b64 c512", lambda a: variant_scores_skip(a, 20, 64, -512, jnp.bfloat16)),
+        ("nosk b128 c512", lambda a: variant_scores_skip(a, 20, 128, -512, jnp.bfloat16)),
+        ("nosk b64 c512 f32", lambda a: variant_scores_skip(a, 20, 64, -512, jnp.float32)),
+        ("nosk b64 c1024", lambda a: variant_scores_skip(a, 20, 64, -1024, jnp.bfloat16)),
     ]
     if which != "all":
         variants = [v for v in variants if which in v[0].replace(" ", "")]
