@@ -50,7 +50,8 @@ __all__ = ["orb_descriptors_pallas", "ANGLE_BINS"]
 ANGLE_BINS = 32
 WIN_H = 80    # window rows: patch 63 + blur margin + sublane-alignment slack
 WIN_W = 256   # window lanes: patch 63 + lane-alignment residual (<=127)
-KB = 8        # keypoints per grid step
+KB = 16       # keypoints per grid step (fewer grid steps beat
+              # smaller VMEM footprints; windows are bf16)
 _ROW0 = 4     # patch top row after the row roll
 _CENTER_Y = _ROW0 + HALF_PATCH  # 35
 _CENTER_X = HALF_PATCH          # 31
@@ -174,7 +175,9 @@ def _kernel(yb, xb, rr, cc, atlas_hbm, a_tab, d_tab, mx, my, out_ref, wins, sems
             wins.at[i % 2, k],
             sems.at[i % 2, k],
         ).wait()
-        w = wins[i % 2, k]                          # [WIN_H, WIN_W] f32
+        # Mosaic's dynamic rotate only supports 32-bit data: the window
+        # DMAs as bf16 (half the HBM bytes) and is cast up for the rolls.
+        w = wins[i % 2, k].astype(jnp.float32)      # [WIN_H, WIN_W]
         w = pltpu.roll(w, rr[idx], 0)               # patch rows -> 4..66
         w = pltpu.roll(w, cc[idx], 1)               # patch cols -> 0..62
         w1 = w[: WIN_H - 8, :128]
@@ -240,8 +243,12 @@ def orb_descriptors_pallas(
     ha_pad = -(-(ha + WIN_H) // 8) * 8
     max_xb = max((w_atlas - PATCH) // 128, 0)
     w_pad = max(max_xb * 128 + WIN_W, w_atlas)
+    # bf16 window source: halves the per-keypoint DMA bytes. Pixel values
+    # are 0..255 with ~0.5 rounding — the same scale the TPU XLA path's
+    # bf16 matmuls already round at. Orientation moments accumulate the
+    # bf16 pixels against float32 masks (f32 accumulation).
     atlas_p = jnp.pad(
-        atlas.astype(jnp.float32),
+        atlas.astype(jnp.bfloat16),
         ((0, ha_pad - ha), (0, w_pad - w_atlas)),
     )
 
@@ -264,7 +271,7 @@ def orb_descriptors_pallas(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, KB, WIN_H, WIN_W), jnp.float32),
+            pltpu.VMEM((2, KB, WIN_H, WIN_W), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, KB)),
         ],
     )
