@@ -115,7 +115,13 @@ class MatchConfig:
                                     # 128 keeps stage 1 on the fused Pallas
                                     # kernel — lane-aligned — and buys recall)
     screen_sketch_k: int = 128      # sketch descriptors per slide ("sketch" mode)
-    screen_queries: int = 384       # strongest frame keypoints used for screening
+    screen_queries: int = 256       # strongest frame keypoints used for screening
+    screen_k_per_slide: int = 512   # index slots per slide used by stage-1
+                                    # voting ("prefix" mode): the first k
+                                    # slots are the lowest pyramid levels in
+                                    # roughly descending FAST-score order,
+                                    # so a half-K vote keeps recall (gate:
+                                    # tools/ab_screen.py)
     knn_chunk: int = 65536          # index descriptors per top-k scan chunk
 
 

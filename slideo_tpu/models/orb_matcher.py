@@ -142,17 +142,26 @@ def match_frame(
     kps = features_ops.detect_pyramid(atlas, meta, cfg.orb)
     buckets = _query_buckets(cfg)
 
+    # Train-id strategy: when the (possibly screened) table is barely wider
+    # than the candidate set, computing the argmax inside the table kernel
+    # (~20% over max-only) beats re-running the candidate slides' matmuls in
+    # select (hamming.train_ids_for_slides). Wide exact tables keep the
+    # max-only + recompute split.
+    screened = n_slides > cfg.match.screen_above_slides
+    table_cols = cfg.match.screen_slides if screened else n_slides
+    with_train = table_cols <= max(4 * cfg.match.top_slides, 128)
+
     def run(q: int) -> FrameMatch:
         feats = features_ops.describe(atlas, meta, kps, q, cfg.orb)
-        # Max-only table: the full-index argmax is the VPU-dominant cost;
-        # candidate train ids are recomputed for the <=40 survivors inside
-        # the cascade (hamming.train_ids_for_slides).
         table = hamming.match_table_frame(
             feats.desc, feats.score, index.desc_index, n_slides, k_per_slide,
-            cfg.match, with_train=False,
+            cfg.match, with_train=with_train,
         )
-        train_for_slides = lambda sids: hamming.train_ids_for_slides(
-            feats.desc, index.desc_index, sids, k_per_slide
+        train_for_slides = (
+            None if with_train else
+            lambda sids: hamming.train_ids_for_slides(
+                feats.desc, index.desc_index, sids, k_per_slide
+            )
         )
         return cascade_from_table(
             frame, frame_seed, feats, table, index.pts, index.smalls,

@@ -190,12 +190,12 @@ def match_table(
         from .pallas_table import match_table_scores_pallas
 
         bias = jnp.where(index.valid, 0.0, -1e6).astype(jnp.float32)
-        if not with_train and index.desc_t is not None:
+        if index.desc_t is not None:
             # Fast path: per-slide-transposed int8 index, all-integer
-            # max-only kernel (see DescriptorIndex.desc_t).
+            # kernel (see DescriptorIndex.desc_t).
             best, arg = match_table_scores_pallas(
                 query, index.desc_t, bias, n_slides, k_per_slide,
-                with_arg=False, dtype=jnp.int8, transposed=True,
+                with_arg=with_train, dtype=jnp.int8, transposed=True,
             )
         else:
             best, arg = match_table_scores_pallas(
@@ -462,18 +462,24 @@ def _screen_slides(
         )
     else:
         q_sub = q_sub[:, : cfg.screen_bits]
+        ksk = min(cfg.screen_k_per_slide, k_per_slide)
+        d_dim = index.desc.shape[1]
+        desc3 = index.desc.reshape(n_slides, k_per_slide, d_dim)
+        valid2 = index.valid.reshape(n_slides, k_per_slide)
         prefix_index = DescriptorIndex(
-            desc=index.desc[:, : cfg.screen_bits],
-            slide_ids=index.slide_ids,
-            train_ids=index.train_ids,
-            valid=index.valid,
+            desc=desc3[:, :ksk, : cfg.screen_bits].reshape(
+                n_slides * ksk, cfg.screen_bits
+            ),
+            slide_ids=jnp.repeat(jnp.arange(n_slides, dtype=jnp.int32), ksk),
+            train_ids=jnp.tile(jnp.arange(ksk, dtype=jnp.int32), n_slides),
+            valid=valid2[:, :ksk].reshape(n_slides * ksk),
             desc_t=(
-                index.desc_t[:, : cfg.screen_bits, :]
+                index.desc_t[:, : cfg.screen_bits, :ksk]
                 if index.desc_t is not None else None
             ),
         )
         table = match_table(
-            q_sub, prefix_index, n_slides, k_per_slide, chunk_slides=16,
+            q_sub, prefix_index, n_slides, ksk, chunk_slides=16,
             with_train=False,
         )
     best = jnp.min(jnp.where(table.valid, table.dist, jnp.inf), axis=1, keepdims=True)

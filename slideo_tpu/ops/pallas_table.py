@@ -68,7 +68,7 @@ def _kernel_t(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
     exact, and skips both the int8->bf16 relayout and the f32 score cast.
     """
     q = q_ref[:]
-    int_mode = dtype == jnp.int8 and arg_ref is None
+    int_mode = dtype == jnp.int8
     acc_dtype = jnp.int32 if dtype == jnp.int8 else jnp.float32
     for j in range(sb):
         scores = jax.lax.dot_general(
@@ -76,7 +76,14 @@ def _kernel_t(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
             preferred_element_type=acc_dtype,
         )                                             # [_QB, K]
         if int_mode:
-            best_ref[j, :] = jnp.max(scores + bias_ref[j, 0, :][None, :], axis=1)
+            scores = scores + bias_ref[j, 0, :][None, :]
+            best_ref[j, :] = jnp.max(scores, axis=1)
+            if arg_ref is not None:
+                # Mosaic argmax wants f32; the cast is exact and monotone
+                # (|score + bias| < 2^21), so arg matches the i32 max.
+                arg_ref[j, :] = jnp.argmax(
+                    scores.astype(jnp.float32), axis=1
+                ).astype(jnp.int32)
             continue
         scores = scores.astype(jnp.float32) + bias_ref[j, 0, :][None, :]
         best_ref[j, :] = jnp.max(scores, axis=1)
@@ -149,7 +156,7 @@ def match_table_scores_pallas(
         query = jnp.pad(query, ((0, q_pad), (0, 0)))
     qp = q + q_pad
 
-    int_mode = dtype == jnp.int8 and not with_arg and transposed
+    int_mode = dtype == jnp.int8 and transposed
     sb = _slides_per_step(desc.dtype.itemsize, k_per_slide, d_bits)
     s_pad = (-n_slides) % sb
     desc3 = (
@@ -171,6 +178,7 @@ def match_table_scores_pallas(
     )
     out_spec = pl.BlockSpec((sb, _QB), lambda i, j: (i, j),
                             memory_space=pltpu.VMEM)
+    best_dtype = jnp.int32 if int_mode else jnp.float32
     out = pl.pallas_call(
         partial(_kernel_t if transposed else _kernel, dtype=dtype, sb=sb),
         grid=(sp // sb, qp // _QB),
@@ -188,12 +196,10 @@ def match_table_scores_pallas(
         ],
         out_specs=(out_spec, out_spec) if with_arg else (out_spec,),
         out_shape=(
-            jax.ShapeDtypeStruct((sp, qp), jnp.float32),
+            jax.ShapeDtypeStruct((sp, qp), best_dtype),
             jax.ShapeDtypeStruct((sp, qp), jnp.int32),
         ) if with_arg else (
-            jax.ShapeDtypeStruct(
-                (sp, qp), jnp.int32 if int_mode else jnp.float32
-            ),
+            jax.ShapeDtypeStruct((sp, qp), best_dtype),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * qp * d_bits * sp * k_per_slide,
@@ -202,8 +208,7 @@ def match_table_scores_pallas(
         ),
         interpret=interpret,
     )(query.astype(dtype), desc3, bias2)
-    if with_arg:
-        best_t, arg_t = out
-        return best_t.T[:q, :n_slides], arg_t.T[:q, :n_slides]
     best_t = out[0].astype(jnp.float32) if int_mode else out[0]
+    if with_arg:
+        return best_t.T[:q, :n_slides], out[1].T[:q, :n_slides]
     return best_t.T[:q, :n_slides], None
