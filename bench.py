@@ -57,13 +57,18 @@ def synthesize(n_slides: int, slide_hw, frame_hw, batch: int, seed: int = 0):
 
 def make_video(path, slides, minutes: float, fps: float = 30.0, seed: int = 1):
     """Synthesize a lecture-style 1080p video: each slide shown ~20 s with
-    slight affine motion + noise, occasional no-slide (noise) segments."""
+    slight affine motion + noise, occasional no-slide (noise) segments.
+
+    XVID-in-AVI: the only available encoder here whose container carries a
+    real frame index (cv2 seeks in ~3 ms, like real-world h264 lectures).
+    mp4v-in-mp4 seeks by decoding from the file start — pathological, and
+    unrepresentative of production inputs."""
     import cv2
 
     rng = np.random.RandomState(seed)
     h, w = slides.shape[1], slides.shape[2]
     vw = cv2.VideoWriter(
-        str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h), isColor=False
+        str(path), cv2.VideoWriter_fourcc(*"XVID"), fps, (w, h), isColor=False
     )
     total = int(minutes * 60 * fps)
     seg_len = int(20 * fps)
@@ -106,7 +111,7 @@ def run_e2e(args, cfg):
         f"{slide_hw[0]}x{slide_hw[1]}"
     )
     work.mkdir(parents=True, exist_ok=True)
-    video = work / "lecture.mp4"
+    video = work / "lecture.avi"
     if not video.exists():
         t0 = time.time()
         make_video(video, slides, args.video_min)
@@ -164,10 +169,10 @@ def run_e2e(args, cfg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slides", type=int, default=500)
-    # Batch 64 amortizes this runtime's ~40 ms dispatch+fetch floor to <1
-    # ms/frame (the streaming pipeline keeps batches in flight, so chip
+    # Batch 128 amortizes this runtime's ~30 ms dispatch+fetch floor to
+    # ~0.2 ms/frame (the streaming pipeline keeps batches in flight, so chip
     # throughput is the honest metric; see tools/profile_floor.py).
-    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--frame-hw", type=int, nargs=2, default=(1080, 1920))
     ap.add_argument("--slide-hw", type=int, nargs=2, default=(1080, 1920))
@@ -176,7 +181,7 @@ def main():
                     help="wall-clock pipeline benchmark on a synthetic lecture")
     ap.add_argument("--video-min", type=float, default=10.0,
                     help="synthetic video length for --e2e (minutes)")
-    ap.add_argument("--decode-mode", choices=["grab", "seek"], default=None)
+    ap.add_argument("--decode-mode", choices=["grab", "chunk", "seek"], default=None)
     args = ap.parse_args()
 
     import jax

@@ -47,8 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=63944)
     p.add_argument("--interval", type=float, default=None,
                    help="frame sampling interval in seconds (default 5)")
-    p.add_argument("--decode-mode", choices=["grab", "seek"], default=None,
-                   help="video decode strategy (grab=reference-exact, seek=fast)")
+    p.add_argument("--decode-mode", choices=["grab", "chunk", "seek"], default=None,
+                   help="video decode strategy (grab=reference-exact; chunk="
+                        "parallel segmented grab, same frames; seek=per-"
+                        "sample seeking, needs dense keyframes)")
     p.add_argument("--trace", action="store_true",
                    help="print per-stage timing after processing")
     p.add_argument("--exact", action="store_true",

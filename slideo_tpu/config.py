@@ -154,9 +154,11 @@ class VideoConfig:
     interval_s: float = 5.0         # sample one frame per interval
     dedup_similarity: float = 0.98  # frame changed iff similarity < this
     small_image_area: int = 300 * 400  # max area of the comparison thumbnails
-    batch_size: int = 16            # frames per device batch
+    batch_size: int = 64            # frames per device batch (amortizes
+                                    # the ~30 ms dispatch+fetch floor; the
+                                    # pipeline keeps one batch in flight)
     decode_mode: str = "grab"       # "grab" (reference-exact) | "seek" (fast)
-    decode_workers: int = 4         # parallel decode chunks in "seek" mode
+    decode_workers: int = 8         # parallel decode segments ("chunk"/"seek")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -5,12 +5,15 @@ total frames / total time, and yield one decoded frame per sampling interval
 (grab every frame header, decode only frames where
 ``frame_idx % floor(fps*interval) < 1.0`` — video_capture.rs:52).
 
-Two decode modes:
+Decode modes:
 - "grab": reference-exact sequential grab/retrieve loop.
-- "seek": jump directly to the sampled frame indices; optionally with
-  several worker threads each decoding a contiguous chunk of the video.
-  This is the throughput mode for long videos (decode is the host-side
-  bottleneck; see SURVEY.md §7 "Hard parts").
+- "chunk": segmented parallel grab — N workers, each seeks once to its
+  contiguous segment then grabs forward. Same sampled frames as "grab",
+  ~workers-x faster on the decode-bound path. The throughput mode for long
+  videos (decode is the host-side bottleneck; see SURVEY.md §7).
+- "seek": jump directly to each sampled frame index in worker threads.
+  Fast only on codecs with dense keyframes; long-GOP files degrade badly
+  (every seek re-decodes from a keyframe).
 """
 
 from __future__ import annotations
@@ -174,6 +177,92 @@ def _sampled_frames_seek(
         stop.set()
 
 
+_CHUNK_QUEUE_DEPTH = 32
+
+
+def _sampled_frames_chunk(
+    path: Path, interval_s: float, workers: int, start_after_frame: int = -1
+) -> Iterator[SampledFrame]:
+    """Segmented sequential decode: each worker seeks ONCE to its contiguous
+    segment of the video, then grab/retrieves forward like the reference
+    loop. One seek per worker instead of one per sampled frame — per-sample
+    seeking ("seek" mode) degrades badly on long-GOP codecs where every
+    seek re-decodes from a distant keyframe.
+
+    Yields exactly the same sampled indices as "grab" mode, in order, with
+    memory bounded by workers * _CHUNK_QUEUE_DEPTH frames.
+    """
+    info = open_video_info(path)
+    stride = info.sample_stride(interval_s)
+    indices = [
+        i for i in range(0, info.total_frames, stride) if i > start_after_frame
+    ]
+    if not indices:
+        return
+    workers = max(1, min(workers, len(indices)))
+    per = -(-len(indices) // workers)
+    segments = [indices[w * per:(w + 1) * per] for w in range(workers)]
+    segments = [s for s in segments if s]
+    queues = [Queue(maxsize=_CHUNK_QUEUE_DEPTH) for _ in segments]
+    stop = threading.Event()
+
+    def work(w: int) -> None:
+        seg = segments[w]
+        cap = cv2.VideoCapture(str(path))
+        try:
+            if seg[0] > 0:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, seg[0])
+            pos = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+            target = 0
+            while target < len(seg) and not stop.is_set():
+                idx = seg[target]
+                if pos < idx:
+                    if not cap.grab():
+                        break
+                    pos += 1
+                    continue
+                ok, frame = cap.read()
+                pos += 1
+                item = (
+                    SampledFrame(_to_gray(frame), idx / info.fps, idx)
+                    if ok else None
+                )
+                target += 1
+                while not stop.is_set():
+                    try:
+                        queues[w].put(item, timeout=0.1)
+                        break
+                    except Exception:
+                        continue
+                if item is None:
+                    return
+            if target < len(seg):  # ran out of frames: signal end
+                while not stop.is_set():
+                    try:
+                        queues[w].put(None, timeout=0.1)
+                        break
+                    except Exception:
+                        continue
+        finally:
+            cap.release()
+
+    threads = [
+        threading.Thread(target=work, args=(w,), daemon=True)
+        for w in range(len(segments))
+    ]
+    for t in threads:
+        t.start()
+    try:
+        for w, seg in enumerate(segments):
+            for _ in seg:
+                item = queues[w].get()
+                if item is None:
+                    return
+                yield item
+    finally:
+        stop.set()
+
+
 def _prefetched(it: Iterator[SampledFrame], depth: int = 16) -> Iterator[SampledFrame]:
     """Run an iterator in a background thread with a bounded queue, so host
     decode overlaps the consumer's device work (double-buffering)."""
@@ -222,5 +311,7 @@ def sampled_frames(
 ) -> Iterator[SampledFrame]:
     if mode == "seek":
         return _sampled_frames_seek(path, interval_s, workers, start_after_frame)
+    if mode == "chunk":
+        return _sampled_frames_chunk(path, interval_s, workers, start_after_frame)
     it = _sampled_frames_grab(path, interval_s, start_after_frame)
     return _prefetched(it) if prefetch else it

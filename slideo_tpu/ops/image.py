@@ -75,18 +75,33 @@ def _resize_matrix(in_size: int, out_size: int, area: bool) -> np.ndarray:
 
 
 def resize(img: jax.Array, out_hw: tuple[int, int], *, area: bool = False) -> jax.Array:
-    """Resize [..., H, W] float array to [..., h, w] via separable matmuls."""
+    """Resize [..., H, W] float array to [..., h, w] via separable matmuls.
+
+    Formulated as plain 2-D dot_generals (leading dims flattened for the
+    width pass, lax.map for the height pass): the batched-einsum form
+    computed the same values but took ~150 s of XLA compile time on TPU for
+    a 64-frame 1080p batch (vs ~9 s for this form).
+    """
     h_in, w_in = img.shape[-2], img.shape[-1]
     h_out, w_out = out_hw
     # numpy constants: embedded directly into the lowered module (a device
     # array here would force a device->host fetch during lowering).
-    wy = _resize_matrix(h_in, h_out, area)
-    wx = _resize_matrix(w_in, w_out, area)
+    wy = jnp.asarray(_resize_matrix(h_in, h_out, area))
+    wx = jnp.asarray(_resize_matrix(w_in, w_out, area))
     x = img.astype(jnp.float32)
-    # [..., H, W] @ [W, w] -> [..., H, w]; then contract H with wy.
-    x = jnp.einsum("...hw,vw->...hv", x, wx, preferred_element_type=jnp.float32)
-    x = jnp.einsum("...hv,uh->...uv", x, wy, preferred_element_type=jnp.float32)
-    return x
+    lead = x.shape[:-2]
+    x1 = jax.lax.dot_general(
+        x.reshape(-1, w_in), wx, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(lead + (h_in, w_out))
+    contract_h = lambda f: jax.lax.dot_general(
+        wy, f, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if not lead:
+        return contract_h(x1)
+    x1 = x1.reshape((-1, h_in, w_out))
+    out = jax.lax.map(contract_h, x1)
+    return out.reshape(lead + (h_out, w_out))
 
 
 def to_small_image(img: jax.Array, max_area: int = 300 * 400) -> jax.Array:

@@ -121,6 +121,27 @@ def test_video_info_and_sampling(fixture_dir):
     # decoded content should agree between modes
     assert np.abs(seek[2].gray - frames[2].gray).mean() < 2.0
 
+    # chunk mode: identical sampled indices AND identical decoded bytes
+    # (it grabs forward like the reference loop, one seek per segment)
+    for workers in (1, 2, 3):
+        chunk = list(
+            sampled_frames(
+                fixture_dir["vid_path"], 5.0, mode="chunk", workers=workers
+            )
+        )
+        assert [f.frame_idx for f in chunk] == [0, 25, 50, 75], workers
+        for cf, gf in zip(chunk, frames):
+            assert np.array_equal(cf.gray, gf.gray), (workers, cf.frame_idx)
+
+    # chunk mode resumes from a checkpoint frontier like grab
+    chunk_resume = list(
+        sampled_frames(
+            fixture_dir["vid_path"], 5.0, mode="chunk", workers=2,
+            start_after_frame=25,
+        )
+    )
+    assert [f.frame_idx for f in chunk_resume] == [50, 75]
+
 
 def test_checkpoint_resume(fixture_dir, small_cfg, tmp_path):
     """Interrupt after a mid-run checkpoint; resume must complete the video
