@@ -146,54 +146,95 @@ def _sector32(x, y):
     return b.astype(jnp.int32)
 
 
-def _kernel(yb, xb, rr, cc, atlas_hbm, a_tab, d_tab, mx, my, out_ref, wins, sems):
+def _start_windows(atlas_hbm, wins, sems, yb, xb, slot, blk):
+    for k in range(KB):
+        idx = blk * KB + k
+        pltpu.make_async_copy(
+            atlas_hbm.at[pl.ds(yb[idx] * 8, WIN_H), pl.ds(xb[idx] * 128, WIN_W)],
+            wins.at[slot, k],
+            sems.at[slot, k],
+        ).start()
+
+
+def _wait_window(atlas_hbm, wins, sems, yb, xb, slot, idx, k):
+    pltpu.make_async_copy(
+        atlas_hbm.at[pl.ds(yb[idx] * 8, WIN_H), pl.ds(xb[idx] * 128, WIN_W)],
+        wins.at[slot, k],
+        sems.at[slot, k],
+    ).wait()
+
+
+def _kernel_bins(yb, xb, rr, cc, atlas_hbm, mx, my, out_ref, wins, sems):
+    """Pass 1: per-keypoint orientation bin (DMA + rolls + moments only)."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
-    def start(slot, blk):
-        for k in range(KB):
-            idx = blk * KB + k
-            pltpu.make_async_copy(
-                atlas_hbm.at[pl.ds(yb[idx] * 8, WIN_H), pl.ds(xb[idx] * 128, WIN_W)],
-                wins.at[slot, k],
-                sems.at[slot, k],
-            ).start()
-
     @pl.when(i == 0)
     def _():
-        start(0, 0)
+        _start_windows(atlas_hbm, wins, sems, yb, xb, 0, 0)
 
     @pl.when(i + 1 < n)
     def _():
-        start((i + 1) % 2, i + 1)
+        _start_windows(atlas_hbm, wins, sems, yb, xb, (i + 1) % 2, i + 1)
 
-    vals_cols = []
+    cols = []
     for k in range(KB):
         idx = i * KB + k
-        pltpu.make_async_copy(
-            atlas_hbm.at[pl.ds(yb[idx] * 8, WIN_H), pl.ds(xb[idx] * 128, WIN_W)],
-            wins.at[i % 2, k],
-            sems.at[i % 2, k],
-        ).wait()
-        # Mosaic's dynamic rotate only supports 32-bit data: the window
-        # DMAs as bf16 (half the HBM bytes) and is cast up for the rolls.
-        w = wins[i % 2, k].astype(jnp.float32)      # [WIN_H, WIN_W]
-        w = pltpu.roll(w, rr[idx], 0)               # patch rows -> 4..66
-        w = pltpu.roll(w, cc[idx], 1)               # patch cols -> 0..62
+        _wait_window(atlas_hbm, wins, sems, yb, xb, i % 2, idx, k)
+        w = wins[i % 2, k].astype(jnp.float32)
+        w = pltpu.roll(w, rr[idx], 0)
+        w = pltpu.roll(w, cc[idx], 1)
         w1 = w[: WIN_H - 8, :128]
         m10 = jnp.sum(w1 * mx[:])
         m01 = jnp.sum(w1 * my[:])
-        bin_ = _sector32(m10, m01)
-        a = a_tab[bin_]                             # [512, 72] bf16
-        d = d_tab[bin_]                             # [512, 128] bf16
-        g = jax.lax.dot_general(
-            a, w1.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                           # [512, 128]
-        v = jnp.sum(g * d.astype(jnp.float32), axis=1, keepdims=True)
-        vals_cols.append(v)                         # [512, 1]
-    vals = jnp.concatenate(vals_cols, axis=1)       # [512, KB]
-    vt = vals.T                                     # [KB, 512]
+        cols.append(_sector32(m10, m01).astype(jnp.float32))
+    row = jnp.stack(cols).reshape(1, KB)
+    out_ref[:] = jnp.pad(row, ((0, 7), (0, 128 - KB)))[None]
+
+
+def _kernel_desc(bins_blk, yb, xb, rr, cc, atlas_hbm, a_tab, d_tab,
+                 out_ref, wins, sems):
+    """Pass 2: descriptors for KB keypoints SHARING one angle bin.
+
+    One [512, 72] x [72, KB*128] MXU contraction per block (the windows are
+    concatenated along lanes) instead of KB tiny serialized dots — the
+    per-keypoint form ran at <1% MXU utilization and was the entire cost of
+    the describe stage (tools/bench_orb_kernel.py ablation).
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        _start_windows(atlas_hbm, wins, sems, yb, xb, 0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        _start_windows(atlas_hbm, wins, sems, yb, xb, (i + 1) % 2, i + 1)
+
+    w1s = []
+    for k in range(KB):
+        idx = i * KB + k
+        _wait_window(atlas_hbm, wins, sems, yb, xb, i % 2, idx, k)
+        # Mosaic's dynamic rotate is 32-bit-only: cast up for the rolls.
+        w = wins[i % 2, k].astype(jnp.float32)
+        w = pltpu.roll(w, rr[idx], 0)
+        w = pltpu.roll(w, cc[idx], 1)
+        w1s.append(w[: WIN_H - 8, :128].astype(jnp.bfloat16))
+    wcat = jnp.concatenate(w1s, axis=1)            # [72, KB*128]
+    b = bins_blk[i]
+    a = a_tab[b]                                   # [512, 72] bf16
+    d = d_tab[b].astype(jnp.float32)               # [512, 128]
+    g = jax.lax.dot_general(
+        a, wcat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [512, KB*128]
+    vals_cols = [
+        jnp.sum(g[:, k * 128:(k + 1) * 128] * d, axis=1, keepdims=True)
+        for k in range(KB)
+    ]
+    vals = jnp.concatenate(vals_cols, axis=1)      # [512, KB]
+    vt = vals.T                                    # [KB, 512]
     n_bits = vt.shape[1] // 2
     out_ref[:] = jnp.where(vt[:, n_bits:] > vt[:, :n_bits], 1.0, -1.0)
 
@@ -255,35 +296,83 @@ def orb_descriptors_pallas(
     a_np, d_np = _bin_tables(n_bits, seed, blur_ksize, float(blur_sigma))
     a_tab = jnp.asarray(a_np, jnp.bfloat16)
     d_tab = jnp.asarray(d_np, jnp.bfloat16)
+    mx, my = _moment_masks()
+    yb, xb = yb.astype(jnp.int32), xb.astype(jnp.int32)
+    rr, cc = rr.astype(jnp.int32), cc.astype(jnp.int32)
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(kp // KB,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (KB, n_bits), lambda i, *_: (i, 0),
-            memory_space=pltpu.VMEM,
+    # ---- pass 1: orientation bins ----
+    nblk = kp // KB
+    bins_f = pl.pallas_call(
+        _kernel_bins,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, KB, WIN_H, WIN_W), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, KB)),
+            ],
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, KB, WIN_H, WIN_W), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, KB)),
-        ],
-    )
-    bits = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((kp, n_bits), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nblk, 8, 128), jnp.float32),
         interpret=interpret,
-    )(
-        yb.astype(jnp.int32), xb.astype(jnp.int32),
-        rr.astype(jnp.int32), cc.astype(jnp.int32),
-        atlas_p, a_tab, d_tab,
-        jnp.asarray(_moment_masks()[0]), jnp.asarray(_moment_masks()[1]),
+    )(yb, xb, rr, cc, atlas_p, jnp.asarray(mx), jnp.asarray(my))
+    bins = bins_f[:, 0, :KB].reshape(kp).astype(jnp.int32)
+
+    # ---- group keypoints by bin (each pass-2 block shares one table) ----
+    order = jnp.argsort(bins, stable=True)
+    bins_sorted = jnp.take(bins, order)
+    counts = jnp.zeros((ANGLE_BINS,), jnp.int32).at[bins].add(1)
+    padded = -(-counts // KB) * KB
+    offs = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1]]
     )
+    bin_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1]]
+    )
+    rank = jnp.arange(kp, dtype=jnp.int32) - jnp.take(bin_starts, bins_sorted)
+    pos_sorted = jnp.take(offs, bins_sorted) + rank
+    kpp = kp + ANGLE_BINS * KB  # static capacity for per-bin padding
+
+    def scat(arr):
+        out = jnp.zeros((kpp,), arr.dtype)
+        return out.at[pos_sorted].set(jnp.take(arr, order))
+
+    ybp, xbp, rrp, ccp = scat(yb), scat(xb), scat(rr), scat(cc)
+    ends = jnp.cumsum(padded)
+    blk_starts = jnp.arange(kpp // KB, dtype=jnp.int32) * KB
+    block_bins = jnp.minimum(
+        jnp.searchsorted(ends, blk_starts, side="right").astype(jnp.int32),
+        ANGLE_BINS - 1,
+    )
+
+    # ---- pass 2: one wide contraction per same-bin block ----
+    bits_p = pl.pallas_call(
+        _kernel_desc,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(kpp // KB,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((KB, n_bits), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, KB, WIN_H, WIN_W), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((2, KB)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((kpp, n_bits), jnp.float32),
+        interpret=interpret,
+    )(block_bins, ybp, xbp, rrp, ccp, atlas_p, a_tab, d_tab)
+
+    inv = jnp.zeros((kp,), jnp.int32).at[order].set(pos_sorted)
+    bits = jnp.take(bits_p, inv, axis=0)
     return bits[:k].astype(jnp.int8)

@@ -84,9 +84,12 @@ def main():
                 atlas = F.build_pyramid(f, cfg.orb)
                 kps = F.detect_pyramid(atlas, meta, cfg.orb)
                 feats = F.describe(atlas, meta, kps, q, cfg.orb)
+                screened = n_slides > cfg.match.screen_above_slides
+                cols = cfg.match.screen_slides if screened else n_slides
+                wt = cols <= max(4 * cfg.match.top_slides, 128)
                 t = hamming.match_table_frame(
                     feats.desc, feats.score, idx.desc_index, n_slides, k_per,
-                    cfg.match, with_train=False)
+                    cfg.match, with_train=wt)
                 return t.dist.sum()
             return jax.lax.map(one, fr)
         return prefix_table
@@ -102,11 +105,17 @@ def main():
                 atlas = F.build_pyramid(f, cfg.orb)
                 kps = F.detect_pyramid(atlas, meta, cfg.orb)
                 feats = F.describe(atlas, meta, kps, q, cfg.orb)
+                # mirror the production path: in-table argmax when the
+                # (screened) table is narrow (orb_matcher.match_frame)
+                screened = n_slides > cfg.match.screen_above_slides
+                cols = cfg.match.screen_slides if screened else n_slides
+                wt = cols <= max(4 * cfg.match.top_slides, 128)
                 t = hamming.match_table_frame(
                     feats.desc, feats.score, idx.desc_index, n_slides, k_per,
-                    cfg.match, with_train=False)
-                tfs = lambda sids: hamming.train_ids_for_slides(
-                    feats.desc, idx.desc_index, sids, k_per)
+                    cfg.match, with_train=wt)
+                tfs = None if wt else (
+                    lambda sids: hamming.train_ids_for_slides(
+                        feats.desc, idx.desc_index, sids, k_per))
                 cands = select_ops.select_candidates_table(
                     t, feats.valid, cfg.match, train_for_slides=tfs)
                 acc = (cands.counts.sum() + cands.query_ids.sum()
