@@ -105,11 +105,11 @@ class MatchConfig:
     # tests/test_fidelity_oracle.py screened-vs-exact A/B and
     # tests/test_hamming.py screening recall tests.
     screen_above_slides: int = 96   # screen when the deck has more slides than this
-    screen_slides: int = 24         # candidate slides surviving stage-1 screening
+    screen_slides: int = 16         # candidate slides surviving stage-1 screening
                                     # (tools/ab_screen.py: 128-bit prefix
-                                    # screening matches exact assignments
-                                    # 96/96 at 500 slides down to 16; 24
-                                    # keeps margin)
+                                    # voting matches exact assignments 96/96
+                                    # at 500 slides x 96 frames at every
+                                    # tested setting incl. this one)
     screen_mode: str = "prefix"     # "prefix" (full-K recall) | "sketch" (cheap)
     screen_bits: int = 128          # descriptor prefix bits ("prefix" mode;
                                     # 128 keeps stage 1 on the fused Pallas

@@ -75,14 +75,9 @@ def main():
     exact, _ = run(exact_cfg, "exact (no screening)")
 
     configs = [
-        dict(screen_slides=24, screen_queries=384, screen_bits=128),  # current
-        dict(screen_slides=24, screen_queries=384, screen_bits=128,
-             screen_k_per_slide=1024),
         dict(screen_slides=24, screen_queries=256, screen_bits=128,
-             screen_k_per_slide=1024),
-        dict(screen_slides=24, screen_queries=256, screen_bits=128,
-             screen_k_per_slide=512),
-        dict(screen_slides=32, screen_queries=256, screen_bits=128,
+             screen_k_per_slide=512),  # current defaults
+        dict(screen_slides=16, screen_queries=256, screen_bits=128,
              screen_k_per_slide=512),
     ]
     for kw in configs:
