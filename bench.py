@@ -34,11 +34,13 @@ def synthesize(n_slides: int, slide_hw, frame_hw, batch: int, seed: int = 0):
         cv2.rectangle(img, (30, 20), (sw - 30, 80), 40, -1)
         cv2.putText(img, f"Slide {s}", (40, 65), cv2.FONT_HERSHEY_SIMPLEX, 1.4, 255, 3)
         for _ in range(45):
-            y, x = rng.randint(110, sh - 60), rng.randint(40, sw - 160)
+            y = rng.randint(110, max(sh - 60, 111))
+            x = rng.randint(40, max(sw - 160, 41))
             w, h = rng.randint(40, 150), rng.randint(8, 22)
             cv2.rectangle(img, (x, y), (x + w, y + h), int(rng.randint(0, 130)), -1)
         for _ in range(6):
-            y, x = rng.randint(140, sh - 40), rng.randint(40, sw - 400)
+            y = rng.randint(140, max(sh - 40, 141))
+            x = rng.randint(40, max(sw - 400, 41))
             cv2.putText(img, f"line {rng.randint(1000)} item {rng.randint(1000)}",
                         (x, y), cv2.FONT_HERSHEY_SIMPLEX, 0.9, int(rng.randint(0, 100)), 2)
         slides[s] = img
@@ -92,13 +94,32 @@ def make_video(path, slides, minutes: float, fps: float = 30.0, seed: int = 1):
     vw.release()
 
 
+def bench_pages(slides: np.ndarray, work, tag: str = "bench"):
+    """Persist the synthetic deck as page PNGs once and wrap as PdfPage
+    records so MatchingEngine's content-keyed index persistence engages
+    (re-runs skip the slide index build entirely)."""
+    import cv2
+
+    from slideo_tpu.app.pipeline import PdfPage
+
+    pages_dir = work / "pages"
+    if not pages_dir.exists() or len(list(pages_dir.glob("p-*.png"))) != len(slides):
+        pages_dir.mkdir(parents=True, exist_ok=True)
+        for i in range(len(slides)):
+            cv2.imwrite(str(pages_dir / f"p-{i+1}.png"), slides[i])
+    return [
+        PdfPage(work / "deck.pdf", tag + "0" * (64 - len(tag)),
+                pages_dir / f"p-{i+1}.png", i + 1)
+        for i in range(len(slides))
+    ]
+
+
 def run_e2e(args, cfg):
     """Wall-clock benchmark of the REAL pipeline on a synthetic lecture:
     decode -> dedup -> match -> results, exactly as `sync` drives it."""
     import tempfile
     from pathlib import Path
 
-    import cv2
     import jax
 
     from slideo_tpu.app.pipeline import MatchingEngine
@@ -117,18 +138,7 @@ def run_e2e(args, cfg):
         make_video(video, slides, args.video_min)
         print(f"synthesized {args.video_min} min video in {time.time()-t0:.0f}s",
               file=sys.stderr)
-    pages_dir = work / "pages"
-    if not pages_dir.exists():
-        pages_dir.mkdir()
-        for i in range(args.slides):
-            cv2.imwrite(str(pages_dir / f"p-{i+1}.png"), slides[i])
-
-    from slideo_tpu.app.pipeline import PdfPage
-
-    pages = [
-        PdfPage(work / "deck.pdf", "e2e" + "0" * 61, pages_dir / f"p-{i+1}.png", i + 1)
-        for i in range(args.slides)
-    ]
+    pages = bench_pages(slides, work, tag="e2e")
     t0 = time.time()
     engine = MatchingEngine(cfg, pages)
     t_index = time.time() - t0
@@ -169,10 +179,12 @@ def run_e2e(args, cfg):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slides", type=int, default=500)
-    # Batch 128 amortizes this runtime's ~30 ms dispatch+fetch floor to
-    # ~0.2 ms/frame (the streaming pipeline keeps batches in flight, so chip
-    # throughput is the honest metric; see tools/profile_floor.py).
-    ap.add_argument("--batch", type=int, default=128)
+    # Default = the SHIPPED config's batch size (VideoConfig.batch_size), so
+    # the driver metric measures the production configuration. Large batches
+    # amortize this runtime's ~30 ms dispatch+fetch floor; the streaming
+    # pipeline keeps batches in flight, so chip throughput is the honest
+    # metric (see tools/profile_floor.py).
+    ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--frame-hw", type=int, nargs=2, default=(1080, 1920))
     ap.add_argument("--slide-hw", type=int, nargs=2, default=(1080, 1920))
@@ -182,6 +194,7 @@ def main():
     ap.add_argument("--video-min", type=float, default=10.0,
                     help="synthetic video length for --e2e (minutes)")
     ap.add_argument("--decode-mode", choices=["grab", "chunk", "seek"], default=None)
+    ap.add_argument("--engine", choices=["orb", "sift"], default="orb")
     args = ap.parse_args()
 
     import jax
@@ -192,11 +205,18 @@ def main():
 
     from slideo_tpu.config import DEFAULT_CONFIG
     from slideo_tpu.models import orb_matcher
+    from slideo_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
+    import dataclasses
 
     cfg = DEFAULT_CONFIG
+    if args.engine != "orb":
+        cfg = dataclasses.replace(cfg, engine=args.engine)
+    if args.batch is None:
+        args.batch = cfg.video.batch_size
     if args.decode_mode:
-        import dataclasses
-
         cfg = dataclasses.replace(
             cfg, video=dataclasses.replace(cfg.video, decode_mode=args.decode_mode)
         )
@@ -210,14 +230,37 @@ def main():
         args.slides, slide_hw, frame_hw, args.batch * (args.iters + 1)
     )
 
-    from slideo_tpu.utils.compile_cache import enable_compilation_cache
+    # Build (or reload) the slide index through MatchingEngine so the
+    # content-keyed index persistence and the jax persistent compile cache
+    # both engage — warm re-runs skip the ~40 s build + ~20 s first compile.
+    import tempfile
+    from pathlib import Path
 
-    enable_compilation_cache()
+    from slideo_tpu.app.pipeline import MatchingEngine, _index_cache_key
+    from slideo_tpu.app.hashing import get_temp_path_key
+
+    work = Path(tempfile.gettempdir()) / (
+        f"slideo-bench-deck-{args.slides}s-{slide_hw[0]}x{slide_hw[1]}"
+    )
+    pages = bench_pages(slides, work)
+    index_warm = (
+        get_temp_path_key("index", _index_cache_key(pages, cfg)) / "index.npz"
+    ).exists()
     t0 = time.time()
-    index = orb_matcher.build_slide_index_chunked(slides, cfg)
+    engine = MatchingEngine(cfg, pages)
+    index = engine.index
     t_index = time.time() - t0
 
-    match = orb_matcher.jit_match_frames(slide_hw, cfg)
+    if args.engine == "sift":
+        from functools import partial
+
+        from slideo_tpu.models import sift_matcher
+
+        match = jax.jit(
+            partial(sift_matcher.match_frames_sift, slide_hw=slide_hw, cfg=cfg)
+        )
+    else:
+        match = orb_matcher.jit_match_frames(slide_hw, cfg)
     batches = [
         jnp.asarray(frames[i * args.batch : (i + 1) * args.batch])
         for i in range(args.iters + 1)
@@ -257,6 +300,7 @@ def main():
         json.dumps(
             {
                 "index_build_s": round(t_index, 2),
+                "index_source": "warm" if index_warm else "cold",
                 "first_call_s": round(t_compile, 2),
                 "times_s": [round(t, 4) for t in times],
                 "matched_in_batch": matched,

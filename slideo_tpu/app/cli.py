@@ -54,9 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--trace", action="store_true",
                    help="print per-stage timing after processing")
     p.add_argument("--exact", action="store_true",
-                   help="disable large-deck screening: exact Hamming "
-                        "matching against every slide (fidelity mode; "
-                        "slower on decks beyond ~100 slides)")
+                   help="full fidelity mode: exact Hamming matching against "
+                        "every slide (no screening), dense verification "
+                        "grid, and the reference's full RANSAC hypothesis "
+                        "budget; slower on decks beyond ~100 slides")
     p.add_argument("--engine", choices=["orb", "sift"], default=None,
                    help="feature engine: orb (reference-faithful, default) or "
                         "sift (scale-invariant + homography, for camera "
@@ -76,6 +77,12 @@ def main(argv: list[str] | None = None) -> int:
 
         jax.config.update("jax_platforms", platform)
 
+    # Multi-host pod-slice runs (SURVEY.md §5.8): no-op unless cluster env
+    # vars (COORDINATOR_ADDRESS / MEGASCALE_COORDINATOR_ADDRESS) are set.
+    from ..parallel.mesh import initialize_distributed
+
+    initialize_distributed()
+
     cfg = DEFAULT_CONFIG
     if args.interval is not None:
         cfg = dataclasses.replace(
@@ -88,9 +95,17 @@ def main(argv: list[str] | None = None) -> int:
     if args.engine is not None:
         cfg = dataclasses.replace(cfg, engine=args.engine)
     if args.exact:
+        # Full fidelity mode: no screening, reference-dense verification
+        # grid, and the reference's full RANSAC hypothesis budget
+        # (image_utils.rs:52 max_iters=2000).
         cfg = dataclasses.replace(
             cfg,
-            match=dataclasses.replace(cfg.match, screen_above_slides=1 << 30),
+            match=dataclasses.replace(
+                cfg.match,
+                screen_above_slides=1 << 30,
+                verify_stride=1,
+                ransac_iters=2048,
+            ),
         )
 
     try:

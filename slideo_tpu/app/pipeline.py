@@ -150,7 +150,7 @@ def _index_cache_key(pages: list[PdfPage], cfg) -> str:
         f"v{_INDEX_FORMAT_VERSION}",
         jax.default_backend(),
         cfg.engine,
-        repr(cfg.orb),
+        repr(cfg.sift if cfg.engine == "sift" else cfg.orb),
         str(cfg.video.small_image_area),
         *hash_files(paths),
     ]
@@ -178,6 +178,50 @@ def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
             k_per_slide=np.asarray([k], np.int32),
         )
     tmp.replace(target / "index.npz")
+
+
+def _save_sift_index(key: str, index, slide_hw: tuple[int, int]) -> None:
+    """Persist a built SiftSlideIndex. Descriptors stay float32 so warm
+    loads are bit-identical to the build (a 500-slide deck is ~500 MB on
+    disk; SIFT decks that large are camera-recording use cases where the
+    build cost dwarfs the disk cost). Crash-safe: write + atomic rename."""
+    target = get_temp_path_key("index", key)
+    target.mkdir(parents=True, exist_ok=True)
+    tmp = target / "index.npz.tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            desc=np.asarray(index.desc),
+            valid=np.packbits(np.asarray(index.valid)),
+            pts=np.asarray(index.pts),
+            scale=np.asarray(index.scale),
+            smalls=np.asarray(index.smalls),
+            slide_hw=np.asarray(slide_hw, np.int32),
+        )
+    tmp.replace(target / "index.npz")
+
+
+def _load_sift_index(key: str):
+    """Load a persisted SiftSlideIndex; returns (index, slide_hw) or None."""
+    from ..models import sift_matcher
+
+    path = get_temp_path_key("index", key) / "index.npz"
+    if not path.exists():
+        return None
+    try:
+        with np.load(path) as z:
+            n = z["desc"].shape[0]
+            result = sift_matcher.SiftSlideIndex(
+                desc=jnp.asarray(z["desc"]),
+                valid=jnp.asarray(np.unpackbits(z["valid"])[:n].astype(bool)),
+                pts=jnp.asarray(z["pts"]),
+                scale=jnp.asarray(z["scale"]),
+                smalls=jnp.asarray(z["smalls"]),
+            )
+            slide_hw = tuple(int(v) for v in z["slide_hw"])
+            return jax.block_until_ready(result), slide_hw
+    except Exception:
+        return None
 
 
 def _load_orb_index(key: str):
@@ -230,22 +274,27 @@ class MatchingEngine:
         self._dedup = None
         self._frame_hw: tuple[int, int] | None = None
 
+        key = _index_cache_key(pages, cfg)
+        load, save = (
+            (_load_orb_index, _save_orb_index)
+            if cfg.engine == "orb"
+            else (_load_sift_index, _save_sift_index)
+        )
+        cached = load(key)
+        if cached is not None:
+            self.index, self.slide_hw = cached
+            return
+        grays, self.slide_hw = _load_page_grays(pages)
         if cfg.engine == "orb":
-            key = _index_cache_key(pages, cfg)
-            cached = _load_orb_index(key)
-            if cached is not None:
-                self.index, self.slide_hw = cached
-                return
-            grays, self.slide_hw = _load_page_grays(pages)
             self.index = self._build_orb_index(grays)
-            try:
-                _save_orb_index(key, self.index, self.slide_hw)
-            except OSError:
-                pass  # persistence is best-effort; the in-memory index stands
         else:
-            grays, self.slide_hw = _load_page_grays(pages)
-            build = jax.jit(partial(sift_matcher.build_slide_index_sift, cfg=cfg))
-            self.index = jax.block_until_ready(build(jnp.asarray(grays)))
+            self.index = sift_matcher.build_slide_index_sift_chunked(
+                grays, cfg, chunk=self._BUILD_CHUNK
+            )
+        try:
+            save(key, self.index, self.slide_hw)
+        except OSError:
+            pass  # persistence is best-effort; the in-memory index stands
 
     def _build_orb_index(self, grays: np.ndarray) -> "orb_matcher.SlideIndex":
         return orb_matcher.build_slide_index_chunked(
@@ -264,7 +313,7 @@ class MatchingEngine:
 
         if os.environ.get("SLIDEO_MESH", "auto") == "off":
             return None
-        if jax.device_count() <= 1 or self.cfg.engine != "orb":
+        if jax.device_count() <= 1:
             return None
         from ..parallel import mesh as mesh_mod
 
@@ -289,12 +338,25 @@ class MatchingEngine:
         cfg = self.cfg
         mesh = self._mesh()
         if cfg.engine == "sift":
-            _match_jit = jax.jit(
-                partial(
-                    sift_matcher.match_frames_sift,
-                    slide_hw=self.slide_hw, cfg=cfg,
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from ..parallel import mesh as mesh_mod
+
+                self.index = jax.device_put(self.index, NamedSharding(mesh, P()))
+                _match_jit = jax.jit(
+                    partial(
+                        mesh_mod.match_frames_sift_sharded,
+                        mesh, slide_hw=self.slide_hw, cfg=cfg,
+                    )
                 )
-            )
+            else:
+                _match_jit = jax.jit(
+                    partial(
+                        sift_matcher.match_frames_sift,
+                        slide_hw=self.slide_hw, cfg=cfg,
+                    )
+                )
         elif mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -349,12 +411,32 @@ class MatchingEngine:
         total_ms = int(info.total_time_s * 1000)
         frames_total = info.frames_to_process(cfg.video.interval_s)
 
+        # Multi-host (SURVEY.md §5.8): each host decodes + matches one
+        # contiguous block of the sampled-frame stream; the tiny per-frame
+        # result records are all-gathered at the end. Per-chunk
+        # checkpointing is single-host only (hosts would race on the DB).
+        import os
+
+        n_procs = jax.process_count()
+        multihost = n_procs > 1 or os.environ.get("SLIDEO_MULTIHOST") == "1"
+        shard_lo, shard_hi = -1, None
+        if multihost:
+            from ..parallel.mesh import host_frame_shard
+
+            checkpoint = None
+            resume_state = None
+            stride = info.sample_stride(cfg.video.interval_s)
+            my = host_frame_shard(list(range(0, info.total_frames, stride)))
+            shard_lo = my[0] - 1 if my else info.total_frames
+            shard_hi = my[-1] if my else -1
+            frames_total = max(len(my), 1)
+
         results: list[Matching] = [
             # Sentinel marking the video end (lib.rs:182-189).
             Matching(video_ms=total_ms, video_frame_idx=info.total_frames, page=None)
         ]
 
-        start_after = -1
+        start_after = shard_lo
         if resume_state is not None:
             by_key = {(p.pdf_hash, p.page_nr): p for p in self.pages}
             rows, start_after = resume_state
@@ -383,7 +465,7 @@ class MatchingEngine:
                 return
             # A frame is "decided" once deduped and (if changed) matched;
             # frames still pending or in flight gate the checkpoint frontier.
-            gates = [p.frame_idx for p in pending[:1]]
+            gates = [p[0].frame_idx for p in pending[:1]]
             gates += [c[0][0].frame_idx for c in inflight[:1]]
             frontier = min(gates) - 1 if gates else last_deduped
             new_rows = [
@@ -423,15 +505,34 @@ class MatchingEngine:
             while pending and (len(pending) >= bs or force):
                 chunk, pending = pending[:bs], pending[bs:]
                 n = len(chunk)
-                frames_np = np.stack(
-                    [c.gray for c in chunk + [chunk[-1]] * (dbs - n)]
-                )
+                # Changed frames already live on device (compacted out of the
+                # dedup batch) — assemble the match batch from contiguous
+                # device slices instead of re-uploading from host (the
+                # round-2 double-H2D: every changed frame crossed PCIe/the
+                # tunnel twice).
+                parts = []
+                i = 0
+                while i < n:
+                    dev, row = chunk[i][1], chunk[i][2]
+                    j = i
+                    while (
+                        j + 1 < n
+                        and chunk[j + 1][1] is dev
+                        and chunk[j + 1][2] == chunk[j][2] + 1
+                    ):
+                        j += 1
+                    parts.append(dev[row : chunk[j][2] + 1])
+                    i = j + 1
+                if dbs > n:  # pad with copies of the last frame
+                    last = parts[-1][-1:]
+                    parts.append(jnp.concatenate([last] * (dbs - n)))
+                frames_dev = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
                 seeds = np.array(
-                    [c.frame_idx for c in chunk] + [0] * (dbs - n), np.int32
+                    [c[0].frame_idx for c in chunk] + [0] * (dbs - n), np.int32
                 )
                 with tracer.stage("match.dispatch"):
-                    res = self._match(jnp.asarray(frames_np), jnp.asarray(seeds))
-                inflight.append((chunk[:n], res))
+                    res = self._match(frames_dev, jnp.asarray(seeds))
+                inflight.append(([c[0] for c in chunk], res))
                 resolve_inflight(keep=1)
             if force:
                 resolve_inflight(keep=0)
@@ -451,14 +552,21 @@ class MatchingEngine:
             else:
                 prev = prev_small
             with tracer.stage("dedup"):
+                frames_dev = jnp.asarray(frames_np)
                 smalls, changed = self._dedup(
-                    jnp.asarray(frames_np), prev, jnp.asarray(has_prev)
+                    frames_dev, prev, jnp.asarray(has_prev)
                 )
                 changed_np = np.asarray(changed)
             prev_small = smalls[-1]
-            for i, b in enumerate(batch):
-                if changed_np[i]:
-                    pending.append(b)
+            rows = np.nonzero(changed_np)[0]
+            if rows.size:
+                # Compact the changed frames out of the dedup batch on
+                # device: pending keeps only changed frames in HBM and the
+                # match stage never re-uploads them.
+                changed_dev = jnp.take(frames_dev, jnp.asarray(rows), axis=0)
+                for j, i in enumerate(rows):
+                    pending.append((batch[i], changed_dev, j))
+            for b in batch:
                 processed += 1
                 last_deduped = b.frame_idx
             reporter(processed, frames_total, f"Processing frames of '{video_path.name}'...")
@@ -478,12 +586,35 @@ class MatchingEngine:
                 sf = next(frame_iter, None)
             if sf is None:
                 break
+            if shard_hi is not None and sf.frame_idx > shard_hi:
+                break  # past this host's block — stop decoding early
             batch.append(sf)
             flush_dedup()
         flush_dedup(force=True)
         flush_matches(force=True)
         save_checkpoint()
         reporter(frames_total, frames_total, "Finished!")
+
+        if multihost:
+            # Exchange this host's records (everything but the sentinel) for
+            # the full timeline; every host returns the same merged result.
+            from ..parallel.mesh import gather_host_matchings
+
+            page_pos = {id(p): i for i, p in enumerate(self.pages)}
+            local_rows = [
+                (m.video_frame_idx, m.video_ms,
+                 page_pos[id(m.page)] if m.page is not None else -1)
+                for m in results[1:]
+            ]
+            merged = gather_host_matchings(local_rows)
+            results[1:] = [
+                Matching(
+                    video_ms=ms,
+                    video_frame_idx=fi,
+                    page=self.pages[pg] if pg >= 0 else None,
+                )
+                for fi, ms, pg in merged
+            ]
 
         # Sort by time; drop consecutive duplicates (lib.rs:229-244).
         results.sort(key=lambda m: m.video_ms)
@@ -534,7 +665,10 @@ def sync(
             )
             for m in matchings
         ]
-        db.finalize_video_matchings(video_hash, rows)
+        # Multi-host runs: every host holds the merged timeline, but only
+        # process 0 owns the cache write (hosts may not even share a disk).
+        if jax.process_index() == 0:
+            db.finalize_video_matchings(video_hash, rows)
 
 
 class _VideoMatcherTask:

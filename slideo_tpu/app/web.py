@@ -22,11 +22,18 @@ from __future__ import annotations
 import json
 import mimetypes
 import re
+import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 from .db import Db
 from ..io.pdf import _scan_pages
+
+# On-demand page extraction runs in background threads so a drag&dropped
+# 200-page deck never blocks the HTTP request that discovered it (the
+# request returns 202 and the viewer polls). Keyed by pdf_hash.
+_extract_lock = threading.Lock()
+_extract_jobs: dict[str, dict] = {}
 
 __all__ = ["start_server", "make_server", "PORT"]
 
@@ -115,23 +122,54 @@ class _Handler(BaseHTTPRequestHandler):
         finally:
             f.close()
 
-    @staticmethod
-    def _extract_on_demand(db: Db, pdf_hash: str):
-        """Extract a known-but-unextracted PDF's pages (lazy viewer path)."""
+    def _extract_on_demand(self, db: Db, pdf_hash: str):
+        """Kick off (or report on) background extraction of a known PDF.
+
+        Returns an (http_code, payload) pair for the in-progress/error cases,
+        or None when the caller should re-read the now-finished record.
+        Never runs pdftocairo on the request thread (a large deck would
+        otherwise block this request for the whole extraction).
+        """
         from ..io.pdf import have_poppler
-        from .pipeline import pdfs_to_images
 
         pdf_path = db.get_path(pdf_hash)
-        if pdf_path is None or not pdf_path.exists() or not have_poppler():
-            return None
+        if pdf_path is None or not pdf_path.exists():
+            return 404, "Hash not known"
+        if not have_poppler():
+            return 503, "pdftocairo unavailable"
+        with _extract_lock:
+            job = _extract_jobs.get(pdf_hash)
+            if job is None or (job["state"] == "failed" and job.get("retry", False)):
+                job = {"state": "running"}
+                _extract_jobs[pdf_hash] = job
+                t = threading.Thread(
+                    target=self._run_extraction,
+                    args=(self.db_path, pdf_hash, pdf_path, job),
+                    daemon=True,
+                )
+                t.start()
+        if job["state"] == "running":
+            return 202, {"status": "extracting"}
+        if job["state"] == "failed":
+            return 500, f"extraction failed: {job.get('error', 'unknown error')}"
+        return None  # finished — caller re-reads the DB record
+
+    @staticmethod
+    def _run_extraction(db_path, pdf_hash: str, pdf_path: Path, job: dict) -> None:
+        from .pipeline import pdfs_to_images
+
+        db = Db(db_path)
         try:
             pdfs_to_images([(pdf_path, pdf_hash)], db)
-        except Exception:
-            return None
-        rec = db.get_pdf_extracted_pages_dir(pdf_hash)
-        if rec is None or not rec.finished or not rec.dir.exists():
-            return None
-        return rec
+            rec = db.get_pdf_extracted_pages_dir(pdf_hash)
+            if rec is None or not rec.finished or not rec.dir.exists():
+                raise RuntimeError("no pages were produced")
+            job["state"] = "done"
+        except Exception as e:  # surfaced to the polling client as 500
+            job["state"] = "failed"
+            job["error"] = str(e)
+        finally:
+            db.close()
 
     def do_GET(self):  # noqa: N802
         path = self.path.split("?", 1)[0]
@@ -161,9 +199,15 @@ class _Handler(BaseHTTPRequestHandler):
                     # it (web.rs:54-67, viewer/index.ts:40-76); the
                     # server-rendered equivalent extracts pages on demand
                     # through the same two-phase cache, when the hash maps to
-                    # a known file.
-                    rec = self._extract_on_demand(db, parts[0])
-                    if rec is None:
+                    # a known file. Extraction runs off-request: 202 + poll.
+                    res = self._extract_on_demand(db, parts[0])
+                    if res is not None:
+                        code, payload = res
+                        if isinstance(payload, dict):
+                            return self._json(payload, code)
+                        return self._error(code, payload)
+                    rec = db.get_pdf_extracted_pages_dir(parts[0])
+                    if rec is None or not rec.finished or not rec.dir.exists():
                         return self._error(404, "no extracted pages")
                 pages = _scan_pages(rec.dir)
                 if len(parts) == 1:

@@ -41,6 +41,10 @@ class OrbConfig:
     # [Q, S] match table run at the frame's true size. Exact: a bucket always
     # covers every valid keypoint. max_keypoints is always the last bucket.
     query_buckets: tuple[int, ...] = (768,)
+    detect_batch: int = 8           # frames whose pyramid+FAST run in ONE
+                                    # batched launch inside match_frames
+                                    # (identical results; amortizes kernel
+                                    # launch fill/drain). 1 = per-frame.
     descriptor_bits: int = 256      # rBRIEF descriptor length in bits
     blur_ksize: int = 7             # Gaussian blur before description (OpenCV ORB)
     blur_sigma: float = 2.0
@@ -87,6 +91,15 @@ class MatchConfig:
     ransac_seed: int = 0xA5AC       # base PRNG seed (reference uses OpenCV's RNG)
     # Acceptance cascade (lib.rs:329-381)
     top_rated: int = 10             # candidates kept after RANSAC rating
+    # Lossless cascade trim: when at most this many candidates have a
+    # kept-match count above min_rating, RANSAC + verification run on that
+    # prefix only (lax.cond; candidates are sorted by count desc). EXACT,
+    # not approximate: a candidate with <= min_rating kept matches can
+    # never have rating (= inlier count <= match count) > min_rating, so
+    # it can neither win nor displace a floor-passing candidate from the
+    # top-10, nor change best_rating for the ratio test (best_rating is
+    # always attained by a floor-passer when one exists). 0 disables.
+    cascade_viable_prefix: int = 8
     min_rating: float = 50.0        # required inlier count
     min_rating_ratio: float = 0.2   # required rating / best rating
     min_similarity: float = 0.5     # required warped-image similarity
@@ -157,7 +170,11 @@ class VideoConfig:
     batch_size: int = 64            # frames per device batch (amortizes
                                     # the ~30 ms dispatch+fetch floor; the
                                     # pipeline keeps one batch in flight)
-    decode_mode: str = "grab"       # "grab" (reference-exact) | "seek" (fast)
+    decode_mode: str = "grab"       # "grab" (reference-exact sequential) |
+                                    # "chunk" (parallel segmented grab —
+                                    # byte-identical frames, recommended on
+                                    # multi-core hosts) | "seek" (per-sample
+                                    # seeking, needs dense keyframes)
     decode_workers: int = 8         # parallel decode segments ("chunk"/"seek")
 
 

@@ -213,6 +213,15 @@ def _sampled_frames_chunk(
             if seg[0] > 0:
                 cap.set(cv2.CAP_PROP_POS_FRAMES, seg[0])
             pos = int(cap.get(cv2.CAP_PROP_POS_FRAMES))
+            if pos > seg[0] or pos < 0:
+                # Seek overshot or position reporting is unreliable (VFR /
+                # broken index): the grab loop below only corrects
+                # undershoot, so a silent overshoot would yield frames with
+                # wrong indices. Fall back to sequential grab from 0 for
+                # this segment — slow but byte-identical to "grab" mode.
+                cap.release()
+                cap = cv2.VideoCapture(str(path))
+                pos = 0
             target = 0
             while target < len(seg) and not stop.is_set():
                 idx = seg[target]

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlideoConfig
+from ..ops import fast as fast_ops
 from ..ops import features as features_ops
 from ..ops import hamming, image, ransac, select, verify
 from ..ops.features import Features, extract_features
@@ -135,11 +136,29 @@ def match_frame(
     in every per-keypoint stage and in the [Q, S] match table. Results are
     identical across buckets (a bucket always covers all valid keypoints).
     """
-    n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
     h, w = frame.shape
     meta = features_ops.pyramid_meta(h, w, cfg.orb)
     atlas = features_ops.build_pyramid(frame, cfg.orb)
     kps = features_ops.detect_pyramid(atlas, meta, cfg.orb)
+    return _match_detected(atlas, meta, kps, frame_seed, index, slide_hw, cfg)
+
+
+def _match_detected(
+    atlas: jax.Array,
+    meta,
+    kps,
+    frame_seed: jax.Array,
+    index: SlideIndex,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+) -> FrameMatch:
+    """Describe + match + cascade from a prebuilt atlas and detections
+    (split from match_frame so match_frames can batch the pyramid + FAST
+    front end across frames in one launch). The full-res frame is level 0
+    of the atlas."""
+    n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
+    h, w = meta.sizes[0]
+    frame = jax.lax.slice(atlas, (0, 0), (h, w))
     buckets = _query_buckets(cfg)
 
     # Train-id strategy: when the (possibly screened) table is barely wider
@@ -200,43 +219,58 @@ def cascade_from_table(
         table, feats.valid, mcfg, train_for_slides=train_for_slides
     )
 
-    # Gather matched point pairs: slide keypoints -> frame keypoints.
-    cand_pts = jnp.take(slide_pts, cands.slide_ids, axis=0)        # [C, K, 2]
-    src = jnp.take_along_axis(cand_pts, cands.train_ids[..., None], axis=1)
-    dst = jnp.take(feats.pts, cands.query_ids, axis=0)             # [C, M, 2]
-    valid = cands.match_valid & cands.cand_valid[:, None]
+    def run(cs: select.CandidateMatches) -> FrameMatch:
+        # Gather matched point pairs: slide keypoints -> frame keypoints.
+        cand_pts = jnp.take(slide_pts, cs.slide_ids, axis=0)        # [C, K, 2]
+        src = jnp.take_along_axis(cand_pts, cs.train_ids[..., None], axis=1)
+        dst = jnp.take(feats.pts, cs.query_ids, axis=0)             # [C, M, 2]
+        valid = cs.match_valid & cs.cand_valid[:, None]
 
-    key = jax.random.fold_in(jax.random.key(mcfg.ransac_seed), frame_seed)
-    rr = ransac.ransac_similarity(src, dst, valid, key, mcfg)
+        key = jax.random.fold_in(jax.random.key(mcfg.ransac_seed), frame_seed)
+        rr = ransac.ransac_similarity(src, dst, valid, key, mcfg)
 
-    # Rating cascade (lib.rs:329-333): top-10 by inliers, floor 50,
-    # competitiveness 0.2 of the best rating.
-    t = min(mcfg.top_rated, rr.rating.shape[0])
-    top_rating, top_idx = jax.lax.top_k(rr.rating, t)
-    best_rating = top_rating[0]
-    retain = (top_rating > mcfg.min_rating) & (
-        top_rating / jnp.maximum(best_rating, 1e-9) > mcfg.min_rating_ratio
-    )
-    retain &= jnp.take(rr.ok & cands.cand_valid, top_idx)
+        # Rating cascade (lib.rs:329-333): top-10 by inliers, floor 50,
+        # competitiveness 0.2 of the best rating.
+        t = min(mcfg.top_rated, rr.rating.shape[0])
+        top_rating, top_idx = jax.lax.top_k(rr.rating, t)
+        best_rating = top_rating[0]
+        retain = (top_rating > mcfg.min_rating) & (
+            top_rating / jnp.maximum(best_rating, 1e-9) > mcfg.min_rating_ratio
+        )
+        retain &= jnp.take(rr.ok & cs.cand_valid, top_idx)
 
-    top_t = ransac.Similarity(*(jnp.take(f, top_idx) for f in rr.transform))
-    top_slides = jnp.take(cands.slide_ids, top_idx)
+        top_t = ransac.Similarity(*(jnp.take(f, top_idx) for f in rr.transform))
+        top_slides = jnp.take(cs.slide_ids, top_idx)
 
-    sims = verify.warp_similarity(
-        frame, top_t, slide_smalls, top_slides, slide_hw,
-        stride=mcfg.verify_stride,
-    )
-    sims = jnp.where(retain, sims, -jnp.inf)
+        sims = verify.warp_similarity(
+            frame, top_t, slide_smalls, top_slides, slide_hw,
+            stride=mcfg.verify_stride,
+        )
+        sims = jnp.where(retain, sims, -jnp.inf)
 
-    # Final pick (lib.rs:370-383): max similarity, must exceed 0.5.
-    win = jnp.argmax(sims)
-    win_sim = sims[win]
-    accept = win_sim > mcfg.min_similarity
-    return FrameMatch(
-        slide=jnp.where(accept, top_slides[win], -1).astype(jnp.int32),
-        similarity=win_sim,
-        rating=top_rating[win],
-    )
+        # Final pick (lib.rs:370-383): max similarity, must exceed 0.5.
+        win = jnp.argmax(sims)
+        win_sim = sims[win]
+        accept = win_sim > mcfg.min_similarity
+        return FrameMatch(
+            slide=jnp.where(accept, top_slides[win], -1).astype(jnp.int32),
+            similarity=win_sim,
+            rating=top_rating[win],
+        )
+
+    # Lossless viable-prefix trim (MatchConfig.cascade_viable_prefix):
+    # counts are sorted desc, so when at most `prefix` candidates exceed the
+    # rating floor they all sit in the prefix, and skipping RANSAC + verify
+    # for the rest cannot change the winner (see config.py proof sketch).
+    c_total = cands.slide_ids.shape[0]
+    prefix = mcfg.cascade_viable_prefix
+    if 0 < prefix < c_total:
+        sliced = select.CandidateMatches(*(f[:prefix] for f in cands))
+        n_viable = jnp.sum(cands.counts > mcfg.min_rating)
+        return jax.lax.cond(
+            n_viable <= prefix, lambda: run(sliced), lambda: run(cands)
+        )
+    return run(cands)
 
 
 def match_frames(
@@ -246,11 +280,44 @@ def match_frames(
     slide_hw: tuple[int, int],
     cfg: SlideoConfig,
 ) -> FrameMatch:
-    """Match a [B, H, W] batch (sequential lax.map; each frame saturates the chip)."""
-    return jax.lax.map(
-        lambda args: match_frame(args[0], args[1], index, slide_hw, cfg),
-        (frames, frame_seeds),
+    """Match a [B, H, W] batch.
+
+    The pyramid build + FAST sweep run batched over ``detect_batch``-frame
+    sub-chunks (one kernel launch per chunk; bit-identical per frame), then
+    describe/match/cascade run per frame inside lax.map — full-batch fusion
+    of those stages measured SLOWER (cascade transients scale with B,
+    round-2 NOTES).
+    """
+    b = frames.shape[0]
+    c = min(cfg.orb.detect_batch, b)
+    if c <= 1 or b % c != 0:
+        return jax.lax.map(
+            lambda args: match_frame(args[0], args[1], index, slide_hw, cfg),
+            (frames, frame_seeds),
+        )
+    h, w = frames.shape[1], frames.shape[2]
+    meta = features_ops.pyramid_meta(h, w, cfg.orb)
+
+    def chunk_fn(args):
+        fr, seeds = args  # [C, H, W], [C]
+        atl = jax.lax.map(lambda im: features_ops.build_pyramid(im, cfg.orb), fr)
+        scores = fast_ops.score_map_batch(atl, cfg.orb.fast_threshold)
+        kps = jax.lax.map(
+            lambda s: features_ops.detect_from_scores(s, meta, cfg.orb), scores
+        )
+        return jax.lax.map(
+            lambda a: _match_detected(
+                a[0], meta, features_ops.Keypoints(*a[1]), a[2], index,
+                slide_hw, cfg,
+            ),
+            (atl, tuple(kps), seeds),
+        )
+
+    out = jax.lax.map(
+        chunk_fn,
+        (frames.reshape(b // c, c, h, w), frame_seeds.reshape(b // c, c)),
     )
+    return FrameMatch(*(f.reshape(b) for f in out))
 
 
 def jit_match_frames(slide_hw: tuple[int, int], cfg: SlideoConfig):

@@ -23,7 +23,13 @@ from ..config import SlideoConfig
 from ..ops import hamming, homography, image, select, verify
 from ..ops.sift import SiftFeatures, extract_sift
 
-__all__ = ["SiftSlideIndex", "build_slide_index_sift", "match_frame_sift", "match_frames_sift"]
+__all__ = [
+    "SiftSlideIndex",
+    "build_slide_index_sift",
+    "build_slide_index_sift_chunked",
+    "match_frame_sift",
+    "match_frames_sift",
+]
 
 
 class SiftSlideIndex(NamedTuple):
@@ -55,6 +61,56 @@ def build_slide_index_sift(slide_grays: jax.Array, cfg: SlideoConfig) -> SiftSli
         pts=feats.pts,
         scale=feats.scale,
         smalls=smalls,
+    )
+
+
+def build_slide_index_sift_chunked(
+    slide_grays, cfg: SlideoConfig, chunk: int = 32
+) -> SiftSlideIndex:
+    """Build the SIFT deck index in fixed-size slide chunks (host loop).
+
+    Mirrors orb_matcher.build_slide_index_chunked: each chunk is one device
+    program, so a 500-slide 1080p deck never jits one monolithic program or
+    holds all full-res pages in HBM at once (reference precompute analogue:
+    the rayon per-slide pool, lib.rs:44-56).
+    """
+    import numpy as _np
+
+    s = slide_grays.shape[0]
+    chunk = max(1, min(chunk, s))
+    n_chunks = -(-s // chunk)
+    pad = n_chunks * chunk - s
+    if pad:
+        slide_grays = _np.concatenate(
+            [slide_grays, _np.repeat(slide_grays[-1:], pad, axis=0)]
+        )
+
+    def one_chunk(imgs):
+        feats = jax.lax.map(
+            lambda im: extract_sift(im.astype(jnp.float32), cfg.sift), imgs
+        )
+        smalls = image.to_small_image(imgs, cfg.video.small_image_area)
+        return feats, smalls
+
+    fn = jax.jit(one_chunk)
+    outs = [
+        fn(jnp.asarray(slide_grays[c * chunk : (c + 1) * chunk]))
+        for c in range(n_chunks)
+    ]
+    desc = jnp.concatenate([f.desc for f, _ in outs])[:s]
+    valid = jnp.concatenate([f.valid for f, _ in outs])[:s]
+    pts = jnp.concatenate([f.pts for f, _ in outs])[:s]
+    scale = jnp.concatenate([f.scale for f, _ in outs])[:s]
+    smalls = jnp.concatenate([sm for _, sm in outs])[:s]
+    k, d = desc.shape[1], desc.shape[2]
+    return jax.block_until_ready(
+        SiftSlideIndex(
+            desc=desc.reshape(s * k, d),
+            valid=valid.reshape(s * k),
+            pts=pts,
+            scale=scale,
+            smalls=smalls,
+        )
     )
 
 

@@ -1,8 +1,9 @@
-"""ctypes bindings for the native C++ runtime components (native/).
+"""ctypes bindings for the native C++ runtime components (csrc/).
 
 The shared library is built on demand with g++ (no pip deps available);
 every entry point degrades gracefully to a pure-Python/JAX path when the
-toolchain or library is unavailable.
+toolchain or library is unavailable. The C++ source ships inside the
+package so wheel installs can build it too.
 """
 
 from __future__ import annotations
@@ -14,7 +15,7 @@ from pathlib import Path
 
 import numpy as np
 
-_SRC = Path(__file__).resolve().parent.parent / "native" / "slideo_native.cpp"
+_SRC = Path(__file__).resolve().parent / "csrc" / "slideo_native.cpp"
 _LIB_DIR = Path(__file__).resolve().parent / "_build"
 _LIB = _LIB_DIR / "libslideo_native.so"
 _lock = threading.Lock()

@@ -22,7 +22,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = [
-    "CIRCLE_OFFSETS", "fast_scores", "nms3x3", "score_map", "detect_keypoints",
+    "CIRCLE_OFFSETS", "fast_scores", "nms3x3", "score_map", "score_map_batch",
+    "detect_keypoints",
 ]
 
 # Bresenham circle of radius 3, 16 points, clockwise from (dy=-3, dx=0)
@@ -96,6 +97,20 @@ def score_map(img: jax.Array, threshold: int) -> jax.Array:
     from .pallas_fast import fast_scores_pallas
 
     return fast_scores_pallas(img, threshold)
+
+
+def score_map_batch(imgs: jax.Array, threshold: int) -> jax.Array:
+    """NMS'd FAST score maps of a [B, H, W] batch, backend-dispatched.
+
+    On TPU: one Pallas launch with grid (B, n_bands) — per-frame results are
+    bit-identical to score_map, but the launch fixed cost amortizes over the
+    batch. On CPU: the XLA path mapped over frames.
+    """
+    if jax.default_backend() == "cpu":
+        return jax.lax.map(lambda im: nms3x3(fast_scores(im, threshold)), imgs)
+    from .pallas_fast import fast_scores_pallas_batch
+
+    return fast_scores_pallas_batch(imgs, threshold)
 
 
 def detect_keypoints(

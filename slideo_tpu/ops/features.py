@@ -42,6 +42,7 @@ __all__ = [
     "level_sizes",
     "build_pyramid",
     "detect_pyramid",
+    "detect_from_scores",
     "describe",
     "extract_features",
     "extract_features_batch",
@@ -244,8 +245,16 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
     makes level-boundary contamination unreachable, so per-level results are
     identical (see fast.score_map). Only the top-k runs per level (quotas).
     """
-    quotas = cfg.per_level_quota
     score_atlas = fast.score_map(atlas, cfg.fast_threshold)
+    return detect_from_scores(score_atlas, meta, cfg)
+
+
+def detect_from_scores(
+    score_atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig
+) -> Keypoints:
+    """Per-level quota top-k over a precomputed NMS'd FAST score atlas
+    (split from detect_pyramid so a batched score sweep can feed it)."""
+    quotas = cfg.per_level_quota
     border = cfg.edge_threshold
     parts: list[Keypoints] = []
     for lvl, ((lh, lw), off, xoff, quota) in enumerate(

@@ -67,7 +67,14 @@ def build_index(slide_desc: jax.Array, slide_valid: jax.Array) -> DescriptorInde
     train_ids = jnp.tile(jnp.arange(k, dtype=jnp.int32), s)
     valid = slide_valid.reshape(s * k)
     desc = jnp.where(valid[:, None], desc, jnp.int8(0))
-    desc_t = jnp.swapaxes(desc.reshape(s, k, d), 1, 2)
+    # The transposed copy only feeds the fused Pallas match-table kernel,
+    # which runs on TPU alone — don't double index memory (~+260 MB at
+    # 500x2048x256) on other backends where that path is never taken.
+    desc_t = (
+        jnp.swapaxes(desc.reshape(s, k, d), 1, 2)
+        if jax.default_backend() == "tpu"
+        else None
+    )
     return DescriptorIndex(desc, slide_ids, train_ids, valid, desc_t)
 
 

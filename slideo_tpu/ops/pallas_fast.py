@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .fast import CIRCLE_OFFSETS
 
-__all__ = ["fast_scores_pallas"]
+__all__ = ["fast_scores_pallas", "fast_scores_pallas_batch"]
 
 HALO = 4  # 3 px circle radius + 1 px NMS neighborhood
 
@@ -41,27 +41,59 @@ HALO = 4  # 3 px circle radius + 1 px NMS neighborhood
 def _kernel(
     x_hbm, out_ref, scratch, sem, *,
     threshold: float, band: int, width: int, height: int, true_width: int,
-    chunk_w: int,
+    chunk_w: int, batched: bool = False,
 ):
-    i = pl.program_id(0)
-    n = pl.num_programs(0)
+    if batched:
+        # Grid (B, n_bands): one launch scores a whole frame batch — the
+        # per-launch fixed cost (pipeline fill, prologue) amortizes over
+        # B * n_bands steps instead of n_bands.
+        fi = pl.program_id(0)
+        i = pl.program_id(1)
+        n = pl.num_programs(1)
+        nf = pl.num_programs(0)
 
-    def copy(slot, b):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(b * band, band + 2 * HALO), :],
-            scratch.at[slot], sem.at[slot],
-        )
+        def copy(slot, step):
+            # step indexes the flattened (frame, band) sequence so the
+            # prefetch of the next frame's first band crosses the frame edge.
+            f, b = step // n, step % n
+            return pltpu.make_async_copy(
+                x_hbm.at[f, pl.ds(b * band, band + 2 * HALO), :],
+                scratch.at[slot], sem.at[slot],
+            )
 
-    @pl.when(i == 0)
-    def _():
-        copy(0, 0).start()
+        step = fi * n + i
+        total = nf * n
 
-    @pl.when(i + 1 < n)
-    def _():
-        copy((i + 1) % 2, i + 1).start()
+        @pl.when(step == 0)
+        def _():
+            copy(0, 0).start()
 
-    copy(i % 2, i).wait()
-    xb = scratch[i % 2]
+        @pl.when(step + 1 < total)
+        def _():
+            copy((step + 1) % 2, step + 1).start()
+
+        copy(step % 2, step).wait()
+        xb = scratch[step % 2]
+    else:
+        i = pl.program_id(0)
+        n = pl.num_programs(0)
+
+        def copy(slot, b):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(b * band, band + 2 * HALO), :],
+                scratch.at[slot], sem.at[slot],
+            )
+
+        @pl.when(i == 0)
+        def _():
+            copy(0, 0).start()
+
+        @pl.when(i + 1 < n)
+        def _():
+            copy((i + 1) % 2, i + 1).start()
+
+        copy(i % 2, i).wait()
+        xb = scratch[i % 2]
     band_start = i * band
     h = band + 2 * HALO
 
@@ -132,9 +164,11 @@ def _kernel(
                     continue
                 nb = nbr(dy, dx)
                 neigh = nb if neigh is None else jnp.maximum(neigh, nb)
-        out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.where(
-            s0 >= neigh, s0, 0.0
-        )
+        res = jnp.where(s0 >= neigh, s0, 0.0)
+        if batched:
+            out_ref[0, :, ci * chunk_w:(ci + 1) * chunk_w] = res
+        else:
+            out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = res
 
 
 def fast_scores_pallas(
@@ -187,3 +221,51 @@ def fast_scores_pallas(
     xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     inb = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
     return jnp.where(inb, out, 0.0)
+
+
+def fast_scores_pallas_batch(
+    imgs: jax.Array,
+    threshold: int,
+    band: int = 64,
+    chunk_w: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """NMS'd FAST score maps of a [B, H, W] batch in ONE kernel launch.
+
+    Bit-identical per frame to fast_scores_pallas; the grid is (B, n_bands)
+    so the launch fixed cost (pipeline fill, Mosaic prologue) is paid once
+    per batch instead of once per frame (round-3 perf lever: detect was
+    VPU-bound with per-frame launches inside lax.map).
+    """
+    b, h, w = imgs.shape
+    pad_h = (-h) % band
+    w_out = w + ((-w) % chunk_w)
+    w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    x = jnp.pad(
+        imgs.astype(jnp.float32),
+        ((0, 0), (HALO, HALO + pad_h), (HALO, w_in - w - HALO)),
+    )
+    n_bands = (h + pad_h) // band
+
+    out = pl.pallas_call(
+        partial(
+            _kernel, threshold=float(threshold), band=band, width=w_out,
+            height=h, true_width=w, chunk_w=chunk_w, batched=True,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h + pad_h, w_out), jnp.float32),
+        grid=(b, n_bands),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, band, w_out), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, band + 2 * HALO, w_in), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x)
+    out = out[:, :h, :w]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inb = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(inb[None], out, 0.0)

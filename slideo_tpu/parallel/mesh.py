@@ -36,6 +36,7 @@ from ..ops.features import extract_features
 __all__ = [
     "initialize_distributed",
     "host_frame_shard",
+    "gather_host_matchings",
     "make_mesh",
     "shard_index",
     "match_frames_sharded",
@@ -75,15 +76,56 @@ def initialize_distributed(
         pass  # already initialized
 
 
-def host_frame_shard(frame_indices: list[int]) -> list[int]:
-    """The slice of sampled-frame indices this host should decode.
+def host_frame_shard(
+    frame_indices: list[int],
+    process_index: int | None = None,
+    process_count: int | None = None,
+) -> list[int]:
+    """The contiguous block of sampled-frame indices this host decodes.
 
-    Frames are dealt round-robin by process so every host's share of
-    "changed" frames stays balanced for long videos.
+    Contiguous blocks (not round-robin) keep the frame-dedup chain local:
+    within a block consecutive sampled frames dedup exactly as on a single
+    host; each block's first frame has no previous frame so it is matched
+    unconditionally, and the final consecutive-duplicate drop
+    (lib.rs:229-244) then restores the single-host timeline byte-for-byte.
+    Blocks also mean each host decodes one contiguous video span instead of
+    seeking across the whole file.
     """
-    import jax
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    per = -(-len(frame_indices) // pc)
+    return frame_indices[pi * per : (pi + 1) * per]
 
-    return frame_indices[jax.process_index() :: jax.process_count()]
+
+def gather_host_matchings(
+    rows: list[tuple[int, int, int]], process_count: int | None = None
+) -> list[tuple[int, int, int]]:
+    """All-gather per-host result records across processes.
+
+    rows: (frame_idx, video_ms, page_global_idx or -1) int records for this
+    host's frame shard. Every host returns the concatenation of all hosts'
+    rows (order within a host preserved). Only these tiny int tuples cross
+    DCN — descriptors, frames, and thumbnails never leave their host.
+    """
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return list(rows)
+    from jax.experimental import multihost_utils
+
+    arr = np.asarray(rows, np.int64).reshape(-1, 3)
+    counts = multihost_utils.process_allgather(
+        np.asarray([arr.shape[0]], np.int64)
+    ).reshape(-1)
+    m = int(counts.max()) if counts.size else 0
+    pad = np.full((m - arr.shape[0], 3), -1, np.int64)
+    gathered = np.asarray(
+        multihost_utils.process_allgather(np.concatenate([arr, pad], axis=0))
+    ).reshape(pc, m, 3)
+    out: list[tuple[int, int, int]] = []
+    for p in range(pc):
+        for r in gathered[p, : int(counts[p])]:
+            out.append((int(r[0]), int(r[1]), int(r[2])))
+    return out
 
 
 def make_mesh(devices=None, axis: str = "frames") -> Mesh:
@@ -112,6 +154,32 @@ def match_frames_sharded(
     axis = mesh.axis_names[0]
     fn = jax.shard_map(
         lambda fr, seeds, idx: orb_matcher.match_frames(
+            fr, seeds, idx, slide_hw, cfg
+        ),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(frames, frame_seeds, index)
+
+
+def match_frames_sift_sharded(
+    mesh: Mesh,
+    frames: jax.Array,
+    frame_seeds: jax.Array,
+    index,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+):
+    """Frame-data-parallel SIFT matching over a 1-D mesh (the SIFT engine's
+    production multi-chip path, same shape as match_frames_sharded: the
+    SiftSlideIndex is replicated, each device matches its frame shard)."""
+    from ..models import sift_matcher
+
+    axis = mesh.axis_names[0]
+    fn = jax.shard_map(
+        lambda fr, seeds, idx: sift_matcher.match_frames_sift(
             fr, seeds, idx, slide_hw, cfg
         ),
         mesh=mesh,

@@ -41,12 +41,22 @@ async function init() {
     return;
   }
   statusEl.textContent = "Loading…";
-  const [pagesRes, matchRes] = await Promise.all([
+  let [pagesRes, matchRes] = await Promise.all([
     fetch(`${serverUrl}/pdf-pages/${pdfHash}`),
     fetch(`${serverUrl}/pdf-matchings/${pdfHash}`),
   ]);
+  // 202 = the server is extracting the deck's pages in the background
+  // (drag&dropped, never-synced PDF) — poll until it finishes.
+  while (pagesRes.status === 202) {
+    statusEl.textContent = "Extracting pdf pages…";
+    await new Promise((r) => setTimeout(r, 1000));
+    pagesRes = await fetch(`${serverUrl}/pdf-pages/${pdfHash}`);
+  }
   if (!pagesRes.ok) {
-    statusEl.textContent = "Could not load pdf pages.";
+    statusEl.textContent =
+      pagesRes.status === 404
+        ? "Unknown pdf — sync it once with the slideo CLI first."
+        : `Could not load pdf pages (${pagesRes.status}).`;
     return;
   }
   const pages = await pagesRes.json();

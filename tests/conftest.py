@@ -18,10 +18,30 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# SLIDEO_TEST_PLATFORM=tpu lets the slow production-scale fidelity tests run
+# on real hardware; default stays the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", os.environ.get("SLIDEO_TEST_PLATFORM", "cpu"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: production-scale fidelity tests (minutes; run with "
+        "SLIDEO_SLOW_TESTS=1 or -m slow)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("SLIDEO_SLOW_TESTS") == "1" or "slow" in (
+        config.getoption("-m") or ""
+    ):
+        return
+    skip = pytest.mark.skip(reason="slow; set SLIDEO_SLOW_TESTS=1 or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture(scope="session")

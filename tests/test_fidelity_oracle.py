@@ -61,8 +61,18 @@ def _deck_and_frames(rng, n_slides=24, hw=(540, 960), n_frames=12):
     return slides, frames, truth
 
 
-def _cv2_reference_assignment(slides, frame, cfg):
-    """lib.rs:249-414 with OpenCV, returning the winning slide index or -1."""
+def _cv2_reference_assignment(slides, frame, cfg, count_semantics="reference"):
+    """lib.rs:249-414 with OpenCV, returning the winning slide index or -1.
+
+    count_semantics:
+      "reference" — the reference's joint-index kNN: each query keeps its 30
+        globally nearest neighbors across ALL slides, possibly several in
+        the same slide (lib.rs:266); match counts can count a query more
+        than once per slide.
+      "best-per-slide" — the engine's table semantics: at most one (the
+        best) match per (query, slide) pair (ops/select.py). The
+        count-semantics A/B quantifies the difference.
+    """
     orb = cv2.ORB_create(
         nfeatures=cfg.orb.n_features, scaleFactor=cfg.orb.scale_factor,
         nlevels=cfg.orb.n_levels, edgeThreshold=cfg.orb.edge_threshold,
@@ -77,17 +87,32 @@ def _cv2_reference_assignment(slides, frame, cfg):
     # same downstream semantics).
     matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
     per_slide: dict[int, list] = {}
-    all_matches = []
+    per_query: dict[int, list] = {}
     for si, (kp, desc) in enumerate(slide_feats):
         if desc is None:
             continue
         for mlist in matcher.knnMatch(fdesc, desc, k=min(30, len(desc))):
             for m in mlist:
-                all_matches.append((m.distance, si, m.queryIdx, m.trainIdx))
+                per_query.setdefault(m.queryIdx, []).append(
+                    (m.distance, si, m.queryIdx, m.trainIdx)
+                )
+    all_matches = []
+    for qi, ms in per_query.items():
+        # Joint-index global cap: the 30 nearest across ALL slides
+        # (lib.rs:266 knn_match(desc, k=30) over the multi-image index).
+        ms.sort(key=lambda t: t[0])
+        if count_semantics == "best-per-slide":
+            seen = set()
+            kept = []
+            for t in ms:
+                if t[1] not in seen:
+                    seen.add(t[1])
+                    kept.append(t)
+            ms = kept
+        all_matches.extend(ms[:30])
     if not all_matches:
         return -1
-    # ratio filter: per QUERY, keep dist < best*1.05 (lib.rs:268-282). The
-    # reference's kNN is over the joint index; emulate per-query best.
+    # ratio filter: per QUERY, keep dist < best*1.05 (lib.rs:268-282).
     best_per_query: dict[int, float] = {}
     for d, si, qi, ti in all_matches:
         best_per_query[qi] = min(best_per_query.get(qi, 1e9), d)
@@ -192,3 +217,18 @@ def test_screened_equals_exact_assignments(lecture):
     )
     screened = _engine_assignments(slides, frames, screened_cfg)
     assert exact == screened, (exact, screened)
+
+
+def test_count_semantics_ab(lecture):
+    """A/B of the two match-count semantics (VERDICT r2 Weak #4): the
+    reference's joint kNN can keep several matches of one query in the same
+    slide (lib.rs:266-295); the engine's table keeps the best one per
+    (query, slide). Final assignments must agree on every frame — the
+    cascade's margins (rating floor 50, ratio 0.2, similarity 0.5) absorb
+    the count difference."""
+    slides, frames, truth = lecture
+    cfg = _small_cfg()
+    for i, frame in enumerate(frames):
+        ref = _cv2_reference_assignment(slides, frame, cfg, "reference")
+        bps = _cv2_reference_assignment(slides, frame, cfg, "best-per-slide")
+        assert ref == bps, (i, ref, bps, truth[i])

@@ -37,3 +37,16 @@ def test_pallas_fast_structured(rng):
     ref = _ref(img)
     assert (got == ref).all()
     assert (ref > 0).sum() > 0  # the fixture actually has corners
+
+
+def test_pallas_fast_batched_parity(rng):
+    """fast_scores_pallas_batch (grid (B, bands), one launch) must be
+    bit-identical per frame to the single-frame kernel / XLA path."""
+    from slideo_tpu.ops.pallas_fast import fast_scores_pallas_batch
+
+    imgs = rng.randint(0, 256, (3, 150, 200)).astype(np.float32)
+    got = np.asarray(
+        fast_scores_pallas_batch(jnp.asarray(imgs), 20, band=64, interpret=True)
+    )
+    for b in range(3):
+        np.testing.assert_array_equal(got[b], _ref(imgs[b]), err_msg=f"frame {b}")

@@ -293,3 +293,50 @@ def test_engine_mesh_equals_single_device(fixture_dir, small_cfg):
             os.environ["SLIDEO_MESH"] = old
     assert single == meshed
     assert any(p is not None for _, p in single)
+
+
+def test_multihost_path_process_count_1(fixture_dir, small_cfg, monkeypatch):
+    """SLIDEO_MULTIHOST=1 forces the multi-host code path (host frame shard,
+    gather_host_matchings) with process_count=1 — it must produce the same
+    timeline as the normal single-host path (mesh.py host_frame_shard /
+    gather are identity at one process)."""
+    from slideo_tpu.app.pipeline import MatchingEngine
+    from slideo_tpu.app.db import Db as _Db
+
+    f = fixture_dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        db = _Db(Path(td) / "slideo.db")
+        db.set_pdf_extracted_pages_dir(
+            PdfExtractedPagesDir(f["pdf_hash"], f["pages_dir"], True)
+        )
+        pages = pipeline.pdfs_to_images([(f["pdf_path"], f["pdf_hash"])], db)
+        db.close()
+
+    engine = MatchingEngine(small_cfg, pages)
+    base = engine.match_video(f["vid_path"])
+    monkeypatch.setenv("SLIDEO_MULTIHOST", "1")
+    multi = engine.match_video(f["vid_path"])
+    key = lambda ms: [
+        (m.video_ms, m.video_frame_idx, m.page.page_nr if m.page else None)
+        for m in ms
+    ]
+    assert key(multi) == key(base)
+
+
+def test_host_frame_shard_partition():
+    """Contiguous, disjoint, covering blocks at any process count."""
+    from slideo_tpu.parallel.mesh import host_frame_shard, gather_host_matchings
+
+    idx = list(range(0, 97, 3))
+    for pc in (1, 2, 3, 8):
+        shards = [host_frame_shard(idx, pi, pc) for pi in range(pc)]
+        flat = [i for s in shards for i in s]
+        assert flat == idx  # order-preserving cover, no overlap
+        for s in shards:
+            if len(s) > 1:
+                step = s[1] - s[0]
+                assert all(b - a == step for a, b in zip(s, s[1:]))
+    rows = [(1, 1000, 0), (2, 2000, -1)]
+    assert gather_host_matchings(rows, process_count=1) == rows

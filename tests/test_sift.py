@@ -119,3 +119,150 @@ def test_sift_engine_end_to_end(cfg, rng):
     noise = (rng.rand(360, 480) * 255).astype(np.float32)
     res2 = mf(jnp.asarray(noise), jnp.int32(6), index)
     assert int(res2.slide) == -1
+
+
+def _mini_deck(rng, n=6, h=300, w=400):
+    slides = np.zeros((n, h, w), np.float32)
+    for s in range(n):
+        for _ in range(30):
+            y, x = rng.randint(30, h - 40), rng.randint(30, w - 60)
+            slides[s, y : y + rng.randint(4, 14), x : x + rng.randint(6, 40)] = (
+                rng.randint(80, 255)
+            )
+    return slides
+
+
+def test_sift_chunked_index_equals_monolithic(cfg, rng):
+    """build_slide_index_sift_chunked must reproduce the monolithic build
+    exactly (it is the production path for large decks — VERDICT r2 #6)."""
+    slides = _mini_deck(rng)
+    mono = jax.jit(lambda s: sift_matcher.build_slide_index_sift(s, cfg))(
+        jnp.asarray(slides)
+    )
+    chunked = sift_matcher.build_slide_index_sift_chunked(slides, cfg, chunk=2)
+    for a, b, name in [
+        (mono.desc, chunked.desc, "desc"),
+        (mono.pts, chunked.pts, "pts"),
+        (mono.scale, chunked.scale, "scale"),
+        (mono.smalls, chunked.smalls, "smalls"),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5, err_msg=name
+        )
+    assert (np.asarray(mono.valid) == np.asarray(chunked.valid)).all()
+
+
+def test_sift_engine_pipeline_with_persistence(cfg, rng, tmp_path, monkeypatch):
+    """MatchingEngine with engine=sift: chunked build, persisted index
+    round-trip (warm engine bit-identical match results), mesh-eligible."""
+    import dataclasses as dc
+
+    from slideo_tpu.app.pipeline import MatchingEngine, PdfPage
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))  # isolate index persistence
+    import tempfile
+
+    tempfile.tempdir = None  # force re-read of TMPDIR
+    slides = _mini_deck(rng).astype(np.uint8)
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    for i, s in enumerate(slides):
+        cv2.imwrite(str(pages_dir / f"p-{i+1}.png"), s)
+    pages = [
+        PdfPage(tmp_path / "deck.pdf", "f" * 64, pages_dir / f"p-{i+1}.png", i + 1)
+        for i in range(len(slides))
+    ]
+    scfg = dc.replace(cfg, video=dc.replace(cfg.video, batch_size=4))
+
+    eng_cold = MatchingEngine(scfg, pages)
+    eng_warm = MatchingEngine(scfg, pages)  # loads the persisted index
+    for a, b in zip(eng_cold.index, eng_warm.index):
+        assert (np.asarray(a) == np.asarray(b)).all()
+
+    # match a perspective frame through both engines' jit paths
+    h, w = slides.shape[1:]
+    hp = cv2.getPerspectiveTransform(
+        np.float32([[0, 0], [w, 0], [w, h], [0, h]]),
+        np.float32([[20, 25], [380, 15], [390, 280], [15, 270]]),
+    )
+    frame = cv2.warpPerspective(slides[3], hp, (w, h))
+    for eng in (eng_cold, eng_warm):
+        n = eng.device_batch  # mesh-padded dispatch batch (8 on the CI mesh)
+        frames = np.stack([frame] * n)
+        eng._compile_for_frames((h, w))
+        out = eng._match(
+            jnp.asarray(frames.astype(np.float32)),
+            jnp.arange(n, dtype=jnp.int32),
+        )
+        assert list(np.asarray(out.slide)) == [3] * n
+    tempfile.tempdir = None  # restore for later tests
+
+
+def test_sift_thresholds_vs_cv2_oracle(cfg, rng):
+    """Acceptance oracle for the SIFT engine's thresholds (SiftConfig
+    min_rating/lowe_ratio have no reference analogue — the rustcv prototype,
+    crates/matching-rustcv/main.rs.txt:92-209, is the model): a cv2.SIFT +
+    Lowe-ratio + findHomography pipeline decides each frame; our engine must
+    agree on every assignment (match vs no-match and which slide)."""
+    if not hasattr(cv2, "SIFT_create"):
+        pytest.skip("cv2 without SIFT")
+    slides = _mini_deck(rng)
+    h, w = slides.shape[1:]
+    frames, expected = [], []
+    for i in range(6):
+        if i % 3 == 2:
+            frames.append((rng.rand(h, w) * 255).astype(np.float32))
+            expected.append(-1)
+            continue
+        s = rng.randint(len(slides))
+        hp = cv2.getPerspectiveTransform(
+            np.float32([[0, 0], [w, 0], [w, h], [0, h]]),
+            np.float32(
+                [[0, 0], [w, 0], [w, h], [0, h]]
+                + rng.uniform(-25, 25, (4, 2)).astype(np.float32)
+            ),
+        )
+        fr = cv2.warpPerspective(slides[s], hp, (w, h))
+        frames.append(fr + rng.randn(h, w).astype(np.float32) * 2)
+        expected.append(s)
+
+    # cv2 oracle
+    sift = cv2.SIFT_create()
+    s8 = [np.clip(s, 0, 255).astype(np.uint8) for s in slides]
+    slide_feats = [sift.detectAndCompute(s, None) for s in s8]
+    oracle = []
+    for fr in frames:
+        fkp, fdesc = sift.detectAndCompute(
+            np.clip(fr, 0, 255).astype(np.uint8), None
+        )
+        best_slide, best_inl = -1, 0
+        if fdesc is not None and len(fdesc) >= 2:
+            bf = cv2.BFMatcher()
+            for si, (kp, desc) in enumerate(slide_feats):
+                if desc is None or len(desc) < 2:
+                    continue
+                good = []
+                for m, n in bf.knnMatch(fdesc, desc, k=2):
+                    if m.distance < 0.8 * n.distance:
+                        good.append(m)
+                if len(good) < 8:
+                    continue
+                src = np.float32([kp[m.trainIdx].pt for m in good]).reshape(-1, 1, 2)
+                dst = np.float32([fkp[m.queryIdx].pt for m in good]).reshape(-1, 1, 2)
+                hm, inl = cv2.findHomography(src, dst, cv2.RANSAC, 5.0)
+                if hm is None:
+                    continue
+                if int(inl.sum()) > best_inl:
+                    best_inl, best_slide = int(inl.sum()), si
+        oracle.append(best_slide if best_inl >= 10 else -1)
+
+    index = jax.jit(lambda s: sift_matcher.build_slide_index_sift(s, cfg))(
+        jnp.asarray(slides)
+    )
+    mf = jax.jit(
+        lambda f, sd, ix: sift_matcher.match_frame_sift(f, sd, ix, (h, w), cfg)
+    )
+    ours = [int(mf(jnp.asarray(fr), jnp.int32(i), index).slide)
+            for i, fr in enumerate(frames)]
+    assert ours == oracle, (ours, oracle, expected)
+    assert oracle == expected  # oracle sanity on ground truth

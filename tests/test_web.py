@@ -97,3 +97,87 @@ def test_errors(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         _get(f"{server}/files/{VID}", {"Range": "bytes=99999999-"})
     assert e.value.code == 416
+
+
+def test_on_demand_extraction_async(server, tmp_path, monkeypatch):
+    """A never-extracted but known PDF is extracted off-request: the first
+    GET returns 202 and the viewer polls until pages exist (web.py 202+poll
+    flow replacing the old blocking in-request extraction)."""
+    import time
+
+    import slideo_tpu.io.pdf as iopdf
+    import slideo_tpu.app.pipeline as pipeline
+
+    h = "d" * 64
+    pdf_file = tmp_path / "deck2.pdf"
+    pdf_file.write_bytes(b"%PDF fake")
+    db = Db(tmp_path / "slideo.db")
+    db.update_hashes([(str(pdf_file), h)])
+    db.close()
+
+    started = threading.Event()
+    release = threading.Event()
+
+    def fake_pdfs_to_images(pdfs, db, reporter=None):
+        started.set()
+        assert release.wait(10)
+        pages = tmp_path / "lazy_pages"
+        pages.mkdir(exist_ok=True)
+        (pages / "p-1.png").write_bytes(b"\x89PNG lazypage1")
+        db.set_pdf_extracted_pages_dir(PdfExtractedPagesDir(h, pages, True))
+
+    monkeypatch.setattr(iopdf, "have_poppler", lambda: True)
+    monkeypatch.setattr(pipeline, "pdfs_to_images", fake_pdfs_to_images)
+
+    r = _get(f"{server}/pdf-pages/{h}")
+    assert r.status == 202
+    assert json.loads(r.read()) == {"status": "extracting"}
+    assert started.wait(10)
+    # Still extracting: request thread is NOT blocked by the worker.
+    assert _get(f"{server}/pdf-pages/{h}").status == 202
+    release.set()
+    for _ in range(100):
+        r = _get(f"{server}/pdf-pages/{h}")
+        if r.status == 200:
+            break
+        time.sleep(0.05)
+    assert r.status == 200
+    assert [p["page_idx"] for p in json.loads(r.read())] == [0]
+
+
+def test_on_demand_extraction_failure_is_500(server, tmp_path, monkeypatch):
+    import time
+
+    import slideo_tpu.io.pdf as iopdf
+    import slideo_tpu.app.pipeline as pipeline
+
+    h = "e" * 64
+    pdf_file = tmp_path / "deck3.pdf"
+    pdf_file.write_bytes(b"%PDF broken")
+    db = Db(tmp_path / "slideo.db")
+    db.update_hashes([(str(pdf_file), h)])
+    db.close()
+
+    monkeypatch.setattr(iopdf, "have_poppler", lambda: True)
+
+    def boom(pdfs, db, reporter=None):
+        raise RuntimeError("pdftocairo exploded")
+
+    monkeypatch.setattr(pipeline, "pdfs_to_images", boom)
+
+    # First request either catches the job mid-flight (202) or, if the
+    # worker already failed, reports 500 straight away.
+    try:
+        code = _get(f"{server}/pdf-pages/{h}").status
+    except urllib.error.HTTPError as e:
+        code = e.code
+    assert code in (202, 500)
+    for _ in range(100):
+        try:
+            code = _get(f"{server}/pdf-pages/{h}").status
+        except urllib.error.HTTPError as e:
+            code = e.code
+        if code == 500:
+            break
+        time.sleep(0.05)
+    assert code == 500
