@@ -41,10 +41,15 @@ class OrbConfig:
     # [Q, S] match table run at the frame's true size. Exact: a bucket always
     # covers every valid keypoint. max_keypoints is always the last bucket.
     query_buckets: tuple[int, ...] = (768,)
-    detect_batch: int = 8           # frames whose pyramid+FAST run in ONE
+    detect_batch: int = 1           # frames whose pyramid+FAST run in one
                                     # batched launch inside match_frames
-                                    # (identical results; amortizes kernel
-                                    # launch fill/drain). 1 = per-frame.
+                                    # (identical results). 1 = per-frame
+                                    # lax.map, which MEASURED FASTER on v5e
+                                    # at batch 64 (142 vs 133 fps — the
+                                    # (B, bands) grid serializes the per-
+                                    # band DMA pipeline across frames while
+                                    # lax.map lets XLA overlap the per-frame
+                                    # launches; tools/bench_config_ab.py).
     descriptor_bits: int = 256      # rBRIEF descriptor length in bits
     blur_ksize: int = 7             # Gaussian blur before description (OpenCV ORB)
     blur_sigma: float = 2.0
@@ -92,14 +97,19 @@ class MatchConfig:
     # Acceptance cascade (lib.rs:329-381)
     top_rated: int = 10             # candidates kept after RANSAC rating
     # Lossless cascade trim: when at most this many candidates have a
-    # kept-match count above min_rating, RANSAC + verification run on that
-    # prefix only (lax.cond; candidates are sorted by count desc). EXACT,
-    # not approximate: a candidate with <= min_rating kept matches can
-    # never have rating (= inlier count <= match count) > min_rating, so
-    # it can neither win nor displace a floor-passing candidate from the
-    # top-10, nor change best_rating for the ratio test (best_rating is
-    # always attained by a floor-passer when one exists). 0 disables.
-    cascade_viable_prefix: int = 8
+    # kept-match count above min_rating, compaction + RANSAC + verification
+    # run on that prefix only (lax.cond; candidates are sorted by count
+    # desc). EXACT, not approximate: a candidate with <= min_rating kept
+    # matches can never have rating (= inlier count <= match count) >
+    # min_rating, so it can neither win nor displace a floor-passing
+    # candidate from the top-10, nor change best_rating for the ratio test
+    # (best_rating is always attained by a floor-passer when one exists).
+    # 0 disables — the shipped default: decks whose slides share template
+    # chrome (headers/footers) put >8 slides above the 50-match floor on
+    # most frames, so the trim branch rarely engages and the duplicated
+    # lax.cond branches cost ~2% (v5e A/B, tools/bench_config_ab.py:
+    # 140.8 fps with prefix=8 vs 143.6 disabled at 500 slides, batch 64).
+    cascade_viable_prefix: int = 0
     min_rating: float = 50.0        # required inlier count
     min_rating_ratio: float = 0.2   # required rating / best rating
     min_similarity: float = 0.5     # required warped-image similarity

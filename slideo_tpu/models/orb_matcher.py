@@ -215,9 +215,14 @@ def cascade_from_table(
     (see select.select_candidates_table).
     """
     mcfg = cfg.match
-    cands = select.select_candidates_table(
-        table, feats.valid, mcfg, train_for_slides=train_for_slides
+    keep, top_counts, cand_cols = select.rank_candidates_table(
+        table, feats.valid, mcfg
     )
+
+    def make_cands(c: int) -> select.CandidateMatches:
+        return select.compact_from_rank(
+            table, keep, top_counts[:c], cand_cols[:c], mcfg, train_for_slides
+        )
 
     def run(cs: select.CandidateMatches) -> FrameMatch:
         # Gather matched point pairs: slide keypoints -> frame keypoints.
@@ -260,17 +265,19 @@ def cascade_from_table(
 
     # Lossless viable-prefix trim (MatchConfig.cascade_viable_prefix):
     # counts are sorted desc, so when at most `prefix` candidates exceed the
-    # rating floor they all sit in the prefix, and skipping RANSAC + verify
-    # for the rest cannot change the winner (see config.py proof sketch).
-    c_total = cands.slide_ids.shape[0]
+    # rating floor they all sit in the prefix, and skipping compaction +
+    # RANSAC + verify for the rest cannot change the winner (see config.py
+    # proof sketch).
+    c_total = top_counts.shape[0]
     prefix = mcfg.cascade_viable_prefix
     if 0 < prefix < c_total:
-        sliced = select.CandidateMatches(*(f[:prefix] for f in cands))
-        n_viable = jnp.sum(cands.counts > mcfg.min_rating)
+        n_viable = jnp.sum(top_counts > mcfg.min_rating)
         return jax.lax.cond(
-            n_viable <= prefix, lambda: run(sliced), lambda: run(cands)
+            n_viable <= prefix,
+            lambda: run(make_cands(prefix)),
+            lambda: run(make_cands(c_total)),
         )
-    return run(cands)
+    return run(make_cands(c_total))
 
 
 def match_frames(

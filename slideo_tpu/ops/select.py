@@ -17,7 +17,13 @@ import jax.numpy as jnp
 from ..config import MatchConfig
 from .hamming import KnnResult
 
-__all__ = ["CandidateMatches", "select_candidates", "select_candidates_table"]
+__all__ = [
+    "CandidateMatches",
+    "select_candidates",
+    "select_candidates_table",
+    "rank_candidates_table",
+    "compact_from_rank",
+]
 
 
 class CandidateMatches(NamedTuple):
@@ -38,6 +44,77 @@ class CandidateMatches(NamedTuple):
     train_ids: jax.Array
     match_valid: jax.Array
     counts: jax.Array
+
+
+def rank_candidates_table(
+    table, query_valid: jax.Array, cfg: MatchConfig
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """The cheap half of table-based candidate selection.
+
+    Applies the ratio filter + per-query fan-out cap and ranks slides by
+    kept-match count. Returns (keep [Q, S] bool, top_counts [C] desc-sorted,
+    cand_cols [C] table columns). The expensive per-candidate compaction
+    lives in compact_from_rank so callers can compact only a prefix
+    (cascade_viable_prefix).
+    """
+    q, s = table.dist.shape
+    big = jnp.float32(1e6)
+    valid = table.valid & query_valid[:, None]
+    dist = jnp.where(valid, table.dist, big)
+    best = jnp.min(dist, axis=1, keepdims=True)
+    keep = valid & (table.dist < best * cfg.ratio)
+
+    # Per-query fan-out cap (reference kNN k=30): keep only the knn_k
+    # nearest kept slides. Only needed when more columns could pass.
+    if s > cfg.knn_k:
+        key = jnp.where(keep, big - table.dist, -big)
+        kth = jax.lax.top_k(key, cfg.knn_k)[0][:, -1:]
+        keep &= key >= jnp.maximum(kth, 0.0)
+
+    counts = jnp.sum(keep, axis=0).astype(jnp.float32)  # [S]
+    c = min(cfg.top_slides, s)
+    top_counts, cand_cols = jax.lax.top_k(counts, c)
+    return keep, top_counts, cand_cols
+
+
+def compact_from_rank(
+    table,
+    keep: jax.Array,
+    top_counts: jax.Array,
+    cand_cols: jax.Array,
+    cfg: MatchConfig,
+    train_for_slides=None,
+) -> CandidateMatches:
+    """Per-candidate match compaction (the expensive top_k-per-candidate
+    half); cand_cols/top_counts may be a prefix of rank_candidates_table's
+    output."""
+    q = keep.shape[0]
+    big = jnp.float32(1e6)
+    cand_valid = top_counts > 0
+    m = min(cfg.max_matches_per_slide, q)
+    cand_slide_ids = jnp.take(table.slide_ids, cand_cols)
+    if table.train is None:
+        if train_for_slides is None:
+            raise ValueError("table has no train ids; pass train_for_slides")
+        train_cq = train_for_slides(cand_slide_ids)  # [C, Q]
+    else:
+        train_cq = table.train.T[cand_cols]          # [C, Q]
+
+    def compact(col, train_q):
+        mine = keep[:, col]
+        key = jnp.where(mine, big - table.dist[:, col], -big)
+        topv, qidx = jax.lax.top_k(key, m)
+        return qidx, jnp.take(train_q, qidx), topv > 0
+
+    query_ids, train_ids, match_valid = jax.vmap(compact)(cand_cols, train_cq)
+    return CandidateMatches(
+        slide_ids=cand_slide_ids,
+        cand_valid=cand_valid,
+        query_ids=query_ids,
+        train_ids=train_ids,
+        match_valid=match_valid,
+        counts=top_counts,
+    )
 
 
 def select_candidates_table(
@@ -61,50 +138,9 @@ def select_candidates_table(
     Required when the table was built ``with_train=False``: the argmax then
     runs only over the <=cfg.top_slides candidates instead of every slide.
     """
-    q, s = table.dist.shape
-    big = jnp.float32(1e6)
-    valid = table.valid & query_valid[:, None]
-    dist = jnp.where(valid, table.dist, big)
-    best = jnp.min(dist, axis=1, keepdims=True)
-    keep = valid & (table.dist < best * cfg.ratio)
-
-    # Per-query fan-out cap (reference kNN k=30): keep only the knn_k
-    # nearest kept slides. Only needed when more columns could pass.
-    if s > cfg.knn_k:
-        key = jnp.where(keep, big - table.dist, -big)
-        kth = jax.lax.top_k(key, cfg.knn_k)[0][:, -1:]
-        keep &= key >= jnp.maximum(kth, 0.0)
-
-    counts = jnp.sum(keep, axis=0).astype(jnp.float32)  # [S]
-    c = min(cfg.top_slides, s)
-    top_counts, cand_cols = jax.lax.top_k(counts, c)
-    cand_valid = top_counts > 0
-
-    m = min(cfg.max_matches_per_slide, q)
-    cand_slide_ids = jnp.take(table.slide_ids, cand_cols)
-    if table.train is None:
-        if train_for_slides is None:
-            raise ValueError(
-                "table has no train ids; pass train_for_slides"
-            )
-        train_cq = train_for_slides(cand_slide_ids)  # [C, Q]
-    else:
-        train_cq = table.train.T[cand_cols]          # [C, Q]
-
-    def compact(col, train_q):
-        mine = keep[:, col]
-        key = jnp.where(mine, big - table.dist[:, col], -big)
-        topv, qidx = jax.lax.top_k(key, m)
-        return qidx, jnp.take(train_q, qidx), topv > 0
-
-    query_ids, train_ids, match_valid = jax.vmap(compact)(cand_cols, train_cq)
-    return CandidateMatches(
-        slide_ids=cand_slide_ids,
-        cand_valid=cand_valid,
-        query_ids=query_ids,
-        train_ids=train_ids,
-        match_valid=match_valid,
-        counts=top_counts,
+    keep, top_counts, cand_cols = rank_candidates_table(table, query_valid, cfg)
+    return compact_from_rank(
+        table, keep, top_counts, cand_cols, cfg, train_for_slides
     )
 
 
