@@ -284,13 +284,21 @@ def main():
     t_compile = time.time() - t0
     matched = int((np.asarray(out.slide) >= 0).sum())
 
+    # Timing mirrors the production pipeline (app/pipeline.py
+    # resolve_inflight(keep=1)): one batch stays in flight so the ~45 ms
+    # dispatch+fetch tunnel roundtrip overlaps the next batch's compute,
+    # and only `slide` is fetched — exactly what match_video consumes.
+    # Every timed iteration runs a DISTINCT batch (the remote runtime
+    # caches identical executions, which would measure nothing).
     times = []
-    for i in range(1, args.iters + 1):
+    inflight = match(batches[1], seeds[1], index)
+    for i in range(2, args.iters + 1):
         t0 = time.time()
-        out_i = match(batches[i], seeds[i], index)
-        np.asarray(out_i.slide)  # host fetch: block_until_ready does not
-        np.asarray(out_i.similarity)  # reliably wait on this remote runtime
+        nxt = match(batches[i], seeds[i], index)
+        np.asarray(inflight.slide)  # host fetch: block_until_ready does
+        inflight = nxt              # not reliably wait on this runtime
         times.append(time.time() - t0)
+    np.asarray(inflight.slide)
     best = min(times)
     fps = args.batch / best
 

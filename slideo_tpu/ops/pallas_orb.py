@@ -164,8 +164,11 @@ def _wait_window(atlas_hbm, wins, sems, yb, xb, slot, idx, k):
     ).wait()
 
 
-def _kernel_bins(yb, xb, rr, cc, atlas_hbm, mx, my, out_ref, wins, sems):
-    """Pass 1: per-keypoint orientation bin (DMA + rolls + moments only)."""
+def _kernel_bins(yb, xb, rr, cc, atlas_hbm, mx, my, out_ref, win_out,
+                 wins, sems):
+    """Pass 1: per-keypoint orientation bin (DMA + rolls + moments), PLUS
+    the rolled, patch-aligned [72, 128] bf16 window written to HBM so pass 2
+    never repeats the (expensive) f32 casts + dynamic rolls."""
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -181,10 +184,12 @@ def _kernel_bins(yb, xb, rr, cc, atlas_hbm, mx, my, out_ref, wins, sems):
     for k in range(KB):
         idx = i * KB + k
         _wait_window(atlas_hbm, wins, sems, yb, xb, i % 2, idx, k)
+        # Mosaic's dynamic rotate is 32-bit-only: cast up for the rolls.
         w = wins[i % 2, k].astype(jnp.float32)
         w = pltpu.roll(w, rr[idx], 0)
         w = pltpu.roll(w, cc[idx], 1)
         w1 = w[: WIN_H - 8, :128]
+        win_out[k] = w1.astype(jnp.bfloat16)
         m10 = jnp.sum(w1 * mx[:])
         m01 = jnp.sum(w1 * my[:])
         cols.append(_sector32(m10, m01).astype(jnp.float32))
@@ -192,7 +197,7 @@ def _kernel_bins(yb, xb, rr, cc, atlas_hbm, mx, my, out_ref, wins, sems):
     out_ref[:] = jnp.pad(row, ((0, 7), (0, 128 - KB)))[None]
 
 
-def _kernel_desc(bins_blk, yb, xb, rr, cc, atlas_hbm, a_tab, d_tab,
+def _kernel_desc(bins_blk, src, aligned_hbm, a_tab, d_tab,
                  out_ref, wins, sems):
     """Pass 2: descriptors for KB keypoints SHARING one angle bin.
 
@@ -200,27 +205,36 @@ def _kernel_desc(bins_blk, yb, xb, rr, cc, atlas_hbm, a_tab, d_tab,
     concatenated along lanes) instead of KB tiny serialized dots — the
     per-keypoint form ran at <1% MXU utilization and was the entire cost of
     the describe stage (tools/bench_orb_kernel.py ablation).
+
+    Windows arrive pre-rolled and bf16 from pass 1 (aligned_hbm [K, 72, 128]
+    indexed by the bin-sorted ``src`` row): the per-keypoint DMA here is a
+    plain aligned copy with no rolls or casts.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
+    def start(slot, blk):
+        for k in range(KB):
+            idx = blk * KB + k
+            pltpu.make_async_copy(
+                aligned_hbm.at[src[idx]], wins.at[slot, k], sems.at[slot, k]
+            ).start()
+
     @pl.when(i == 0)
     def _():
-        _start_windows(atlas_hbm, wins, sems, yb, xb, 0, 0)
+        start(0, 0)
 
     @pl.when(i + 1 < n)
     def _():
-        _start_windows(atlas_hbm, wins, sems, yb, xb, (i + 1) % 2, i + 1)
+        start((i + 1) % 2, i + 1)
 
     w1s = []
     for k in range(KB):
         idx = i * KB + k
-        _wait_window(atlas_hbm, wins, sems, yb, xb, i % 2, idx, k)
-        # Mosaic's dynamic rotate is 32-bit-only: cast up for the rolls.
-        w = wins[i % 2, k].astype(jnp.float32)
-        w = pltpu.roll(w, rr[idx], 0)
-        w = pltpu.roll(w, cc[idx], 1)
-        w1s.append(w[: WIN_H - 8, :128].astype(jnp.bfloat16))
+        pltpu.make_async_copy(
+            aligned_hbm.at[src[idx]], wins.at[i % 2, k], sems.at[i % 2, k]
+        ).wait()
+        w1s.append(wins[i % 2, k])
     wcat = jnp.concatenate(w1s, axis=1)            # [72, KB*128]
     b = bins_blk[i]
     a = a_tab[b]                                   # [512, 72] bf16
@@ -300,9 +314,9 @@ def orb_descriptors_pallas(
     yb, xb = yb.astype(jnp.int32), xb.astype(jnp.int32)
     rr, cc = rr.astype(jnp.int32), cc.astype(jnp.int32)
 
-    # ---- pass 1: orientation bins ----
+    # ---- pass 1: orientation bins + rolled bf16 windows ----
     nblk = kp // KB
-    bins_f = pl.pallas_call(
+    bins_f, aligned = pl.pallas_call(
         _kernel_bins,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -312,14 +326,21 @@ def orb_descriptors_pallas(
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
-                                   memory_space=pltpu.VMEM),
+            out_specs=[
+                pl.BlockSpec((1, 8, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((KB, WIN_H - 8, 128), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
             scratch_shapes=[
                 pltpu.VMEM((2, KB, WIN_H, WIN_W), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2, KB)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nblk, 8, 128), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((kp, WIN_H - 8, 128), jnp.bfloat16),
+        ],
         interpret=interpret,
     )(yb, xb, rr, cc, atlas_p, jnp.asarray(mx), jnp.asarray(my))
     bins = bins_f[:, 0, :KB].reshape(kp).astype(jnp.int32)
@@ -343,7 +364,9 @@ def orb_descriptors_pallas(
         out = jnp.zeros((kpp,), arr.dtype)
         return out.at[pos_sorted].set(jnp.take(arr, order))
 
-    ybp, xbp, rrp, ccp = scat(yb), scat(xb), scat(rr), scat(cc)
+    # Per-slot source row in pass 1's aligned-window buffer (padding slots
+    # read row 0 — their outputs are never gathered back).
+    src = scat(jnp.arange(kp, dtype=jnp.int32))
     ends = jnp.cumsum(padded)
     blk_starts = jnp.arange(kpp // KB, dtype=jnp.int32) * KB
     block_bins = jnp.minimum(
@@ -355,7 +378,7 @@ def orb_descriptors_pallas(
     bits_p = pl.pallas_call(
         _kernel_desc,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=5,
+            num_scalar_prefetch=2,
             grid=(kpp // KB,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -365,13 +388,13 @@ def orb_descriptors_pallas(
             out_specs=pl.BlockSpec((KB, n_bits), lambda i, *_: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, KB, WIN_H, WIN_W), jnp.bfloat16),
+                pltpu.VMEM((2, KB, WIN_H - 8, 128), jnp.bfloat16),
                 pltpu.SemaphoreType.DMA((2, KB)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((kpp, n_bits), jnp.float32),
         interpret=interpret,
-    )(block_bins, ybp, xbp, rrp, ccp, atlas_p, a_tab, d_tab)
+    )(block_bins, src, aligned, a_tab, d_tab)
 
     inv = jnp.zeros((kp,), jnp.int32).at[order].set(pos_sorted)
     bits = jnp.take(bits_p, inv, axis=0)
