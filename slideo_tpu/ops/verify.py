@@ -117,16 +117,23 @@ def warp_similarity(
     n_t = sxp.shape[0]
     if jax.default_backend() == "tpu":
         # On-chip sampling kernel (ops/pallas_warp.py): tent matmuls stay in
-        # VMEM instead of streaming [chunk, W] profiles through HBM.
+        # VMEM instead of streaming [chunk, W] profiles through HBM. Points
+        # are ordered COLUMN-major over the slide grid so each sample block
+        # walks down thumbnail columns — its frame-x span stays narrow and
+        # the kernel's windowed fast path engages.
         from .pallas_warp import bilinear_sample_pallas
 
-        sx2 = sxp.reshape(n_t, -1)
-        sy2 = syp.reshape(n_t, -1)
+        sx2 = sxp.transpose(0, 2, 1).reshape(n_t, -1)
+        sy2 = syp.transpose(0, 2, 1).reshape(n_t, -1)
         inb = (
             (sx2 >= 0) & (sx2 <= fsw - 1) & (sy2 >= 0) & (sy2 <= fsh - 1)
         )
         vals = bilinear_sample_pallas(frame_small, sx2, sy2)
-        warped = jnp.where(inb, vals, 0.0).reshape(n_t, out_h, out_w)
+        warped = (
+            jnp.where(inb, vals, 0.0)
+            .reshape(n_t, out_w, out_h)
+            .transpose(0, 2, 1)
+        )
     else:
         warped = _bilinear_image(
             frame_small, sxp.reshape(-1), syp.reshape(-1), chunk=chunk
@@ -179,11 +186,15 @@ def warp_similarity_homography(
     if jax.default_backend() == "tpu":
         from .pallas_warp import bilinear_sample_pallas
 
-        sx2 = sxp.reshape(n_t, -1)
-        sy2 = syp.reshape(n_t, -1)
+        sx2 = sxp.transpose(0, 2, 1).reshape(n_t, -1)
+        sy2 = syp.transpose(0, 2, 1).reshape(n_t, -1)
         inb = (sx2 >= 0) & (sx2 <= fsw - 1) & (sy2 >= 0) & (sy2 <= fsh - 1)
         vals = bilinear_sample_pallas(frame_small, sx2, sy2)
-        warped = jnp.where(inb, vals, 0.0).reshape(n_t, out_h, out_w)
+        warped = (
+            jnp.where(inb, vals, 0.0)
+            .reshape(n_t, out_w, out_h)
+            .transpose(0, 2, 1)
+        )
     else:
         warped = _bilinear_image(
             frame_small, sxp.reshape(-1), syp.reshape(-1)
