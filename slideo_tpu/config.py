@@ -139,12 +139,15 @@ class MatchConfig:
                                     # kernel — lane-aligned — and buys recall)
     screen_sketch_k: int = 128      # sketch descriptors per slide ("sketch" mode)
     screen_queries: int = 256       # strongest frame keypoints used for screening
-    screen_k_per_slide: int = 512   # index slots per slide used by stage-1
-                                    # voting ("prefix" mode): the first k
-                                    # slots are the lowest pyramid levels in
-                                    # roughly descending FAST-score order,
-                                    # so a half-K vote keeps recall (gate:
-                                    # tools/ab_screen.py)
+    screen_k_per_slide: int = 2048  # index slots per slide used by stage-1
+                                    # voting ("prefix" mode). FULL K: slots
+                                    # are ordered level-major (level-0 first)
+                                    # and a 512-slot trim measurably loses
+                                    # frames whose discriminative matches sit
+                                    # on higher pyramid levels / lower-score
+                                    # level-0 corners (tools/debug_ab_diff.py:
+                                    # true slide ranked 89th at k=512, 1st at
+                                    # full K on the failing frame; r3 A/B)
     knn_chunk: int = 65536          # index descriptors per top-k scan chunk
 
 

@@ -197,7 +197,7 @@ def _match_detected(
 
 
 def cascade_from_table(
-    frame: jax.Array,
+    frame: jax.Array | None,
     frame_seed: jax.Array,
     feats: Features,
     table,
@@ -206,6 +206,8 @@ def cascade_from_table(
     slide_hw: tuple[int, int],
     cfg: SlideoConfig,
     train_for_slides=None,
+    frame_small: jax.Array | None = None,
+    frame_hw: tuple[int, int] | None = None,
 ) -> FrameMatch:
     """The post-matching verification cascade (ratio filter -> ... -> winner).
 
@@ -213,6 +215,8 @@ def cascade_from_table(
     (index-parallel, parallel/mesh.py) reuse the identical cascade.
     train_for_slides: required when the table carries no train ids
     (see select.select_candidates_table).
+    frame may be None when a precomputed frame_small (+ static frame_hw)
+    is supplied (the batched screened pipeline).
     """
     mcfg = cfg.match
     keep, top_counts, cand_cols = select.rank_candidates_table(
@@ -250,6 +254,7 @@ def cascade_from_table(
         sims = verify.warp_similarity(
             frame, top_t, slide_smalls, top_slides, slide_hw,
             stride=mcfg.verify_stride,
+            frame_small=frame_small, frame_hw=frame_hw,
         )
         sims = jnp.where(retain, sims, -jnp.inf)
 
@@ -280,6 +285,111 @@ def cascade_from_table(
     return run(make_cands(c_total))
 
 
+def _pad_features(ft: Features, total: int) -> Features:
+    """Pad a bucket-sized Features to ``total`` slots (pad rows invalid).
+
+    The pad sits at the END, so slicing [:q] recovers the bucket-sized set
+    bit-exactly (describe's compaction orders rows by descending score)."""
+    pad = total - ft.score.shape[0]
+    if pad <= 0:
+        return ft
+    return Features(
+        pts=jnp.pad(ft.pts, ((0, pad), (0, 0))),
+        desc=jnp.pad(ft.desc, ((0, pad), (0, 0))),
+        score=jnp.pad(ft.score, ((0, pad),)),
+        valid=jnp.pad(ft.valid, ((0, pad),)),
+    )
+
+
+def _match_frames_screened_batch(
+    frames: jax.Array,
+    frame_seeds: jax.Array,
+    index: SlideIndex,
+    slide_hw: tuple[int, int],
+    cfg: SlideoConfig,
+) -> FrameMatch:
+    """Screened-deck batch path: per-frame features -> ONE batched stage-1
+    sweep -> per-frame stage-2 + cascade.
+
+    Stage-1 voting is full-K (hamming.screen_slides_batched): all frames'
+    strongest queries stack into one Pallas sweep, so the screening tensor
+    streams from HBM once per batch instead of once per frame — full-K
+    recall (the fidelity fix, see config.screen_k_per_slide) at roughly the
+    cost the quarter-K per-frame sweep used to pay. Full-res frames are
+    consumed by phase 1 (features + verification thumbnail); the cascade
+    runs from the thumbnail, so no [B, H, W] float pyramid survives across
+    phases.
+    """
+    b, h, w = frames.shape
+    meta = features_ops.pyramid_meta(h, w, cfg.orb)
+    n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
+    mk = cfg.orb.max_keypoints
+    mcfg = cfg.match
+    buckets = _query_buckets(cfg)
+
+    def feat_fn(im):
+        imf = im.astype(jnp.float32)
+        atlas = features_ops.build_pyramid(imf, cfg.orb)
+        kps = features_ops.detect_pyramid(atlas, meta, cfg.orb)
+
+        def at(q: int) -> Features:
+            return _pad_features(
+                features_ops.describe(atlas, meta, kps, q, cfg.orb), mk
+            )
+
+        if len(buckets) == 1:
+            ft = at(buckets[0])
+            count = jnp.sum(kps.valid)
+        else:
+            count = jnp.sum(kps.valid)
+            branch = jnp.searchsorted(
+                jnp.asarray(np.asarray(buckets[:-1], np.int32)), count,
+                side="left",
+            )
+            ft = jax.lax.switch(branch, [lambda q=q: at(q) for q in buckets])
+        fsmall = image.to_small_image(imf, cfg.video.small_image_area)
+        key = jnp.where(ft.valid, ft.score, -1.0)
+        _, topq = jax.lax.top_k(key, mcfg.screen_queries)
+        qdesc = jnp.take(ft.desc, topq, axis=0)
+        return ft, fsmall, qdesc, count
+
+    ft, fsmalls, qdescs, counts = jax.lax.map(feat_fn, frames)
+
+    cand = hamming.screen_slides_batched(
+        qdescs, index.desc_index, n_slides, k_per_slide, mcfg
+    )                                                          # [B, C]
+
+    def tail_fn(args):
+        ft_i, fsmall_i, cand_i, count_i, seed_i = args
+        ft_i = Features(*ft_i)
+
+        def run(q: int) -> FrameMatch:
+            ftq = Features(*(f[:q] for f in ft_i))  # exact: pad is at the end
+            sub = hamming.sub_index_for_slides(
+                index.desc_index, cand_i, k_per_slide
+            )
+            table = hamming.match_table(
+                ftq.desc, sub, cand_i.shape[0], k_per_slide,
+                slide_ids=cand_i, with_train=True,
+            )
+            return cascade_from_table(
+                None, seed_i, ftq, table, index.pts, index.smalls,
+                slide_hw, cfg, frame_small=fsmall_i, frame_hw=(h, w),
+            )
+
+        if len(buckets) == 1:
+            return run(buckets[0])
+        branch = jnp.searchsorted(
+            jnp.asarray(np.asarray(buckets[:-1], np.int32)), count_i,
+            side="left",
+        )
+        return jax.lax.switch(branch, [lambda q=q: run(q) for q in buckets])
+
+    return jax.lax.map(
+        tail_fn, (tuple(ft), fsmalls, cand, counts, frame_seeds)
+    )
+
+
 def match_frames(
     frames: jax.Array,
     frame_seeds: jax.Array,
@@ -289,13 +399,25 @@ def match_frames(
 ) -> FrameMatch:
     """Match a [B, H, W] batch.
 
-    The pyramid build + FAST sweep run batched over ``detect_batch``-frame
-    sub-chunks (one kernel launch per chunk; bit-identical per frame), then
-    describe/match/cascade run per frame inside lax.map — full-batch fusion
-    of those stages measured SLOWER (cascade transients scale with B,
-    round-2 NOTES).
+    Screened decks (> MatchConfig.screen_above_slides) with a prebuilt
+    screening tensor take the batched stage-1 path
+    (_match_frames_screened_batch). Otherwise: the pyramid build + FAST
+    sweep run batched over ``detect_batch``-frame sub-chunks (one kernel
+    launch per chunk; bit-identical per frame), then describe/match/cascade
+    run per frame inside lax.map — full-batch fusion of those stages
+    measured SLOWER (cascade transients scale with B, round-2 NOTES).
     """
     b = frames.shape[0]
+    n_slides = index.pts.shape[0]
+    if (
+        n_slides > cfg.match.screen_above_slides
+        and cfg.match.screen_mode == "prefix"
+        and cfg.match.screen_bits == hamming.SCREEN_BITS
+        and index.desc_index.screen_desc is not None
+    ):
+        return _match_frames_screened_batch(
+            frames, frame_seeds, index, slide_hw, cfg
+        )
     c = min(cfg.orb.detect_batch, b)
     if c <= 1 or b % c != 0:
         return jax.lax.map(

@@ -33,6 +33,13 @@ __all__ = ["DescriptorIndex", "build_index", "knn", "knn_frame"]
 # Plain int (NOT a jnp scalar): module import must not touch any backend.
 _NEG = -(2**30)
 
+# Stage-1 screening tensor geometry: 128 descriptor-prefix rows + 2 validity
+# rows (+-127 each: their sum -254 pushes invalid slots below any legitimate
+# +-1 dot product, including the t < -127 edge when a query matches nothing)
+# padded to the int8 sublane tile (32).
+SCREEN_BITS = 128
+_SCREEN_D = 160
+
 
 class DescriptorIndex(NamedTuple):
     """Flattened multi-slide descriptor index.
@@ -46,6 +53,11 @@ class DescriptorIndex(NamedTuple):
                (rhs [D, K]) per slide with int8 MXU inputs — natural layout,
                no in-kernel transpose or int8->bf16 relayout (both measured
                20-40% slower; tools/bench_table_kernel.py).
+    screen_desc: [S, _SCREEN_D, K] int8 stage-1 voting tensor, or None:
+               SCREEN_BITS descriptor-prefix rows per slide (transposed like
+               desc_t) plus two validity rows that fold the invalid-slot
+               bias INTO the MXU contraction (queries append two +1 columns)
+               — the screening kernel then needs no per-element bias add.
     """
 
     desc: jax.Array
@@ -53,10 +65,21 @@ class DescriptorIndex(NamedTuple):
     train_ids: jax.Array
     valid: jax.Array
     desc_t: jax.Array | None = None
+    screen_desc: jax.Array | None = None
 
     @property
     def n_descriptors(self) -> int:
         return self.desc.shape[0]
+
+
+def build_screen_desc(desc: jax.Array, valid: jax.Array, s: int, k: int) -> jax.Array:
+    """[S, _SCREEN_D, K] int8 stage-1 voting tensor (see DescriptorIndex)."""
+    d3 = desc.reshape(s, k, -1)[:, :, :SCREEN_BITS]
+    pt = jnp.swapaxes(d3, 1, 2)                                # [S, bits, K]
+    v = jnp.where(valid.reshape(s, k), 0, -127).astype(jnp.int8)
+    vrows = jnp.broadcast_to(v[:, None, :], (s, 2, k))
+    pad = jnp.zeros((s, _SCREEN_D - SCREEN_BITS - 2, k), jnp.int8)
+    return jnp.concatenate([pt, vrows, pad], axis=1)
 
 
 def build_index(slide_desc: jax.Array, slide_valid: jax.Array) -> DescriptorIndex:
@@ -67,15 +90,17 @@ def build_index(slide_desc: jax.Array, slide_valid: jax.Array) -> DescriptorInde
     train_ids = jnp.tile(jnp.arange(k, dtype=jnp.int32), s)
     valid = slide_valid.reshape(s * k)
     desc = jnp.where(valid[:, None], desc, jnp.int8(0))
-    # The transposed copy only feeds the fused Pallas match-table kernel,
-    # which runs on TPU alone — don't double index memory (~+260 MB at
-    # 500x2048x256) on other backends where that path is never taken.
-    desc_t = (
-        jnp.swapaxes(desc.reshape(s, k, d), 1, 2)
-        if jax.default_backend() == "tpu"
+    # The transposed copies only feed the fused Pallas kernels, which run on
+    # TPU alone — don't grow index memory (~+420 MB at 500x2048x256) on
+    # other backends where those paths are never taken.
+    on_tpu = jax.default_backend() == "tpu"
+    desc_t = jnp.swapaxes(desc.reshape(s, k, d), 1, 2) if on_tpu else None
+    screen_desc = (
+        build_screen_desc(desc, valid, s, k)
+        if on_tpu and k % 128 == 0 and d >= SCREEN_BITS
         else None
     )
-    return DescriptorIndex(desc, slide_ids, train_ids, valid, desc_t)
+    return DescriptorIndex(desc, slide_ids, train_ids, valid, desc_t, screen_desc)
 
 
 def _chunked_topk_scores(
@@ -357,6 +382,100 @@ def match_table_float(
     )
 
 
+def sub_index_for_slides(
+    index: DescriptorIndex, cand: jax.Array, k_per_slide: int
+) -> DescriptorIndex:
+    """Candidate-slide sub-index via contiguous per-slide dynamic slices
+    (each slide's descriptors are one [K, D] block — per-slide DMAs instead
+    of a 131k-row gather). cand: [C] int32 global slide ids."""
+    d_dim = index.desc.shape[1]
+
+    def slice_slide(c):
+        row0 = c * k_per_slide
+        out = (
+            jax.lax.dynamic_slice(index.desc, (row0, 0), (k_per_slide, d_dim)),
+            jax.lax.dynamic_slice(index.valid, (row0,), (k_per_slide,)),
+        )
+        if index.desc_t is not None:
+            out += (
+                jax.lax.dynamic_slice(
+                    index.desc_t, (c, 0, 0), (1, d_dim, k_per_slide)
+                )[0],
+            )
+        return out
+
+    sliced = jax.lax.map(slice_slide, cand)
+    n_cand = cand.shape[0]
+    return DescriptorIndex(
+        desc=sliced[0].reshape(n_cand * k_per_slide, d_dim),
+        slide_ids=jnp.repeat(cand, k_per_slide),
+        train_ids=jnp.tile(jnp.arange(k_per_slide, dtype=jnp.int32), n_cand),
+        valid=sliced[1].reshape(n_cand * k_per_slide),
+        desc_t=sliced[2] if index.desc_t is not None else None,
+    )
+
+
+def screen_slides_batched(
+    qdesc: jax.Array,
+    index: DescriptorIndex,
+    n_slides: int,
+    k_per_slide: int,
+    cfg: MatchConfig,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Stage-1 candidate slides for a BATCH of frames in ONE index sweep.
+
+    qdesc: [B, Qs, D] int8 — each frame's strongest cfg.screen_queries
+    descriptors. Returns [B, min(cfg.screen_slides, n_slides)] int32.
+
+    Full-K voting (every index slot; a 512-slot trim measurably lost frames
+    whose matches sit on higher pyramid levels — see config.py) with the
+    per-frame cost amortized: all frames' queries stack into one Pallas
+    sweep, so the ~S*K*_SCREEN_D-byte index streams through VMEM once per
+    batch instead of once per frame. Slot validity rides two +-127 rows of
+    index.screen_desc against two +1 query columns (invalid slots score
+    <= -254, below any real prefix dot), so the kernel runs bias-free.
+    Vote rule identical to _screen_slides: per (query, slide) best distance,
+    keep within best*1.05 + 1, count votes per slide.
+    """
+    from .pallas_table import match_table_scores_pallas
+
+    if interpret is None:
+        # Tests attach screen_desc to CPU-built indices; the kernel only
+        # compiles natively on TPU.
+        interpret = jax.default_backend() != "tpu"
+    b, qs, _ = qdesc.shape
+    bits = SCREEN_BITS
+    q = qdesc[..., :bits].reshape(b * qs, bits)
+    ext = jnp.concatenate(
+        [
+            jnp.ones((b * qs, 2), jnp.int8),
+            jnp.zeros((b * qs, _SCREEN_D - bits - 2), jnp.int8),
+        ],
+        axis=1,
+    )
+    qp = jnp.concatenate([q, ext], axis=1)
+    best, _ = match_table_scores_pallas(
+        qp,
+        index.screen_desc,
+        jnp.zeros((n_slides * k_per_slide,), jnp.float32),
+        n_slides,
+        k_per_slide,
+        dtype=jnp.int8,
+        with_arg=False,
+        transposed=True,
+        skip_bias=True,
+        interpret=interpret,
+    )
+    best = best.reshape(b, qs, n_slides)
+    dist = (bits - best.astype(jnp.float32)) * 0.5
+    bestd = jnp.min(dist, axis=2, keepdims=True)
+    keep = dist <= bestd * 1.05 + 1.0
+    votes = jnp.sum(keep, axis=1).astype(jnp.float32)          # [B, S]
+    _, top = jax.lax.top_k(votes, min(cfg.screen_slides, n_slides))
+    return top.astype(jnp.int32)
+
+
 def match_table_frame(
     query: jax.Array,
     query_score: jax.Array,
@@ -379,37 +498,10 @@ def match_table_frame(
         )
 
     cand = _screen_slides(query, query_score, index, n_slides, cfg)
-    # Each slide's descriptors are one contiguous [K, D] block; gather the
-    # candidate sub-index with per-slide dynamic slices (contiguous DMAs)
-    # instead of a 131k-row gather.
-    d_dim = index.desc.shape[1]
-
-    def slice_slide(c):
-        row0 = c * k_per_slide
-        out = (
-            jax.lax.dynamic_slice(index.desc, (row0, 0), (k_per_slide, d_dim)),
-            jax.lax.dynamic_slice(index.valid, (row0,), (k_per_slide,)),
-        )
-        if index.desc_t is not None:
-            out += (
-                jax.lax.dynamic_slice(
-                    index.desc_t, (c, 0, 0), (1, d_dim, k_per_slide)
-                )[0],
-            )
-        return out
-
-    sliced = jax.lax.map(slice_slide, cand)
-    sub_desc, sub_valid = sliced[0], sliced[1]
-    n_cand = cand.shape[0]
-    sub = DescriptorIndex(
-        desc=sub_desc.reshape(n_cand * k_per_slide, d_dim),
-        slide_ids=jnp.repeat(cand, k_per_slide),
-        train_ids=jnp.tile(jnp.arange(k_per_slide, dtype=jnp.int32), n_cand),
-        valid=sub_valid.reshape(n_cand * k_per_slide),
-        desc_t=sliced[2] if index.desc_t is not None else None,
-    )
+    sub = sub_index_for_slides(index, cand, k_per_slide)
     return match_table(
-        query, sub, n_cand, k_per_slide, slide_ids=cand, with_train=with_train
+        query, sub, cand.shape[0], k_per_slide, slide_ids=cand,
+        with_train=with_train,
     )
 
 

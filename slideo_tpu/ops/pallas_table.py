@@ -58,7 +58,24 @@ def _slides_per_step(desc_itemsize: int, k_per_slide: int, d_bits: int) -> int:
     return sb
 
 
-def _kernel_t(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
+def _lane_max(scores):
+    """max over the lane axis via 128-wide column folding.
+
+    A full-width lane reduction shuffles across all K lanes per query row;
+    folding K/128 static column slices elementwise first (free at 128-
+    aligned offsets) leaves ONE 128-lane tree (~8% on the screening kernel;
+    a fully flattened one-matmul-per-group form and larger slide groups both
+    measured SLOWER — tools/bench_screen_kernel.py).
+    """
+    k = scores.shape[1]
+    m = scores[:, :128]
+    for c in range(1, k // 128):
+        m = jnp.maximum(m, scores[:, c * 128:(c + 1) * 128])
+    return jnp.max(m, axis=1)
+
+
+def _kernel_t(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb,
+              skip_bias=False):
     """Transposed-index variant: desc_ref is [sb, D, K] — each slide's
     descriptors stored column-major so the MXU contraction is the natural
     (lhs [QB, D]) x (rhs [D, K]) layout with no in-VMEM transpose.
@@ -76,8 +93,9 @@ def _kernel_t(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
             preferred_element_type=acc_dtype,
         )                                             # [_QB, K]
         if int_mode:
-            scores = scores + bias_ref[j, 0, :][None, :]
-            best_ref[j, :] = jnp.max(scores, axis=1)
+            if not skip_bias:
+                scores = scores + bias_ref[j, 0, :][None, :]
+            best_ref[j, :] = _lane_max(scores)
             if arg_ref is not None:
                 # Mosaic argmax wants f32; the cast is exact and monotone
                 # (|score + bias| < 2^21), so arg matches the i32 max.
@@ -86,7 +104,7 @@ def _kernel_t(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
                 ).astype(jnp.int32)
             continue
         scores = scores.astype(jnp.float32) + bias_ref[j, 0, :][None, :]
-        best_ref[j, :] = jnp.max(scores, axis=1)
+        best_ref[j, :] = _lane_max(scores)
         if arg_ref is not None:
             arg_ref[j, :] = jnp.argmax(scores, axis=1).astype(jnp.int32)
 
@@ -117,7 +135,7 @@ def _kernel(q_ref, desc_ref, bias_ref, best_ref, arg_ref=None, *, dtype, sb):
         # Mosaic's argmax lowering supports only float32; the cast is exact
         # (|score| <= 256 and the bias is a power-of-10 well inside f32).
         scores = scores.astype(jnp.float32) + bias_ref[j, 0, :][None, :]
-        best_ref[j, :] = jnp.max(scores, axis=1)
+        best_ref[j, :] = _lane_max(scores)
         if arg_ref is not None:
             arg_ref[j, :] = jnp.argmax(scores, axis=1).astype(jnp.int32)
 
@@ -132,6 +150,7 @@ def match_table_scores_pallas(
     dtype=jnp.bfloat16,
     with_arg: bool = True,
     transposed: bool = False,
+    skip_bias: bool = False,
 ) -> tuple[jax.Array, jax.Array | None]:
     """Per-(query, slide) best dot-product score and (optionally) arg slot.
 
@@ -141,16 +160,20 @@ def match_table_scores_pallas(
            relayout; hamming.build_index stores bf16 for exactly this)
     bias:  [S*K] float32 additive row bias (0 valid / -1e6 invalid)
     dtype: MXU input dtype (int8 | bfloat16 | float32) — exact either way.
+    skip_bias: elide the per-element bias add (int8 transposed max-only
+    path; callers fold validity into the contraction instead — see
+    hamming.build_screen_desc).
     Returns (best [Q, S] float32, arg [Q, S] int32 or None if not with_arg).
 
-    Requires D and K multiples of 128 (use hamming.match_table otherwise).
+    Requires K a multiple of 128 and D of 8 (use hamming.match_table
+    otherwise).
     """
     q, d_bits = query.shape
     if transposed:
         assert desc.shape == (n_slides, d_bits, k_per_slide), desc.shape
     else:
         assert desc.shape[0] == n_slides * k_per_slide
-    assert d_bits % 128 == 0 and k_per_slide % 128 == 0, (d_bits, k_per_slide)
+    assert d_bits % 8 == 0 and k_per_slide % 128 == 0, (d_bits, k_per_slide)
     q_pad = (-q) % _QB
     if q_pad:
         query = jnp.pad(query, ((0, q_pad), (0, 0)))
@@ -180,7 +203,8 @@ def match_table_scores_pallas(
                             memory_space=pltpu.VMEM)
     best_dtype = jnp.int32 if int_mode else jnp.float32
     out = pl.pallas_call(
-        partial(_kernel_t if transposed else _kernel, dtype=dtype, sb=sb),
+        partial(_kernel_t, dtype=dtype, sb=sb, skip_bias=skip_bias)
+        if transposed else partial(_kernel, dtype=dtype, sb=sb),
         grid=(sp // sb, qp // _QB),
         in_specs=[
             pl.BlockSpec((_QB, d_bits), lambda i, j: (j, 0),

@@ -65,7 +65,7 @@ def _bilinear_image(
 
 
 def warp_similarity(
-    frame: jax.Array,
+    frame: jax.Array | None,
     transforms: Similarity,
     slide_smalls: jax.Array,
     cand_slide_ids: jax.Array,
@@ -73,10 +73,16 @@ def warp_similarity(
     max_area: int = 300 * 400,
     stride: int = 1,
     chunk: int = 8192,
+    frame_small: jax.Array | None = None,
+    frame_hw: tuple[int, int] | None = None,
 ) -> jax.Array:
     """Similarity of the warped frame vs each candidate slide thumbnail.
 
-    frame:          [H, W] float32 grayscale full-resolution frame
+    frame:          [H, W] float32 grayscale full-resolution frame, or None
+                    when a precomputed ``frame_small`` (+ static frame_hw)
+                    is supplied — the batched pipeline computes thumbnails
+                    once in its feature phase so full-res frames need not
+                    stay live through the cascade
     transforms:     Similarity with [T]-shaped fields, mapping full-res slide
                     coords -> full-res frame coords (RANSAC direction)
     slide_smalls:   [S, hs, ws] float32 slide thumbnails
@@ -93,9 +99,10 @@ def warp_similarity(
     """
     hs, ws = slide_smalls.shape[-2], slide_smalls.shape[-1]
     full_h, full_w = slide_hw
-    fh, fw = frame.shape
+    fh, fw = frame.shape if frame is not None else frame_hw
     fsh, fsw = small_size(fh, fw, max_area)
-    frame_small = to_small_image(frame, max_area)
+    if frame_small is None:
+        frame_small = to_small_image(frame, max_area)
     # frame coords -> frame-thumbnail coords (area-resize pixel-center map)
     inv_fx = fsw / fw
     inv_fy = fsh / fh

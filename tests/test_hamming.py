@@ -185,3 +185,44 @@ def test_pallas_table_matches_xla_table(rng):
             d_got = (256 - qq[i] @ np.asarray(index.desc).reshape(s, k, 256)[j, got_train[i, j]].astype(np.float32)) / 2
             assert d_ref == d_got, (i, j, d_ref, d_got)
     assert int(got_train[0, 2]) == 17 and dist[0, 2] == 0.0
+
+
+def test_screen_batched_equals_per_frame(rng):
+    """screen_slides_batched == the per-frame _screen_slides formulation at
+    full-K voting (same prefix bits, same vote rule), for every frame."""
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG.match,
+        screen_slides=6,
+        screen_queries=32,
+        screen_k_per_slide=1 << 20,  # full K in the per-frame reference
+    )
+    s, k = 10, 128  # k % 128 == 0: screen_desc geometry
+    d = _random_desc(rng, s * k).reshape(s, k, 256)
+    valid = rng.rand(s, k) > 0.15
+    d = np.where(valid[..., None], d, 0).astype(np.int8)
+    index = hamming.build_index(jnp.asarray(d), jnp.asarray(valid))
+    screen_desc = hamming.build_screen_desc(
+        jnp.asarray(d.reshape(s * k, 256)), jnp.asarray(valid.reshape(-1)),
+        s, k,
+    )
+    index = index._replace(screen_desc=screen_desc)
+
+    b, qs = 3, cfg.screen_queries
+    qdesc = np.stack([
+        np.where(rng.rand(qs, 256) < 0.04, -1, 1).astype(np.int8)
+        * d[rng.randint(s), rng.choice(k, qs, replace=False)]
+        for _ in range(b)
+    ])
+    qscore = rng.rand(b, qs).astype(np.float32) + 1.0
+
+    got = np.asarray(hamming.screen_slides_batched(
+        jnp.asarray(qdesc), index, s, k, cfg,
+    ))
+    for f in range(b):
+        want = np.asarray(hamming._screen_slides(
+            jnp.asarray(qdesc[f]), jnp.asarray(qscore[f]), index, s, cfg,
+        ))
+        # qscore ordering differs (batched takes callers' pre-picked top
+        # queries; here all qs queries are the pick), so compare slide SETS
+        # and the vote-ordering of the overlap.
+        assert set(got[f].tolist()) == set(want.tolist()), (f, got[f], want)

@@ -75,10 +75,12 @@ def main():
     exact, _ = run(exact_cfg, "exact (no screening)")
 
     configs = [
-        dict(screen_slides=24, screen_queries=256, screen_bits=128,
-             screen_k_per_slide=512),  # current defaults
         dict(screen_slides=16, screen_queries=256, screen_bits=128,
-             screen_k_per_slide=512),
+             screen_k_per_slide=2048),  # shipped: FULL-K voting (r3)
+        dict(screen_slides=16, screen_queries=128, screen_bits=128,
+             screen_k_per_slide=2048),
+        dict(screen_slides=16, screen_queries=64, screen_bits=128,
+             screen_k_per_slide=2048),
     ]
     for kw in configs:
         cfg = dataclasses.replace(
