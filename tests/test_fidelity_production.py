@@ -82,8 +82,17 @@ def _perturbed_frames(rng, slides, n_frames):
     return frames, truth
 
 
-def _assignments(slides, frames, cfg):
+def _assignments(slides, frames, cfg, batched_screen=False):
+    from slideo_tpu.ops import hamming
+
     index = orb_matcher.build_slide_index_chunked(np.asarray(slides), cfg)
+    if batched_screen and index.desc_index.screen_desc is None:
+        # CPU builds skip the screening tensor; attach it so the batched
+        # stage-1 path (the TPU production path) is the one under test.
+        di = index.desc_index
+        s, k = index.pts.shape[0], index.pts.shape[1]
+        index = index._replace(desc_index=di._replace(
+            screen_desc=hamming.build_screen_desc(di.desc, di.valid, s, k)))
     match = orb_matcher.jit_match_frames(slides[0].shape, cfg)
     out = match(
         jnp.asarray(np.stack(frames)),
@@ -112,7 +121,7 @@ def test_screened_equals_exact_near_duplicate_deck():
     screened_cfg = base  # 250 slides > screen_above_slides=96 -> screening on
     assert screened_cfg.match.screen_above_slides < len(slides)
     exact = _assignments(slides, frames, exact_cfg)
-    screened = _assignments(slides, frames, screened_cfg)
+    screened = _assignments(slides, frames, screened_cfg, batched_screen=True)
     diffs = [i for i, (a, b) in enumerate(zip(exact, screened)) if a != b]
     assert diffs == [], (diffs, [(exact[i], screened[i]) for i in diffs])
     # Sanity: the engine actually resolves most frames on this hard deck.
