@@ -172,7 +172,7 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and (len(sys.argv) < 2 or sys.argv[1] == "v1"):
     main()
 
 
@@ -503,3 +503,177 @@ def main3():
                   f"compile {comp:.0f}s, {agree})", flush=True)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+
+# ---- Round-3 variants: polarity scheduling in the van Herk cascade ----
+#
+# "fused": one pass computing bright and dark chains together (each diffs
+#   plane read once per chain step instead of twice).
+# "split": two sequential polarity passes per chunk (halves the live plane
+#   set per pass — aimed at vector-register spill pressure).
+
+def _kernel_pol(x_hbm, out_ref, scratch, sem, *,
+                threshold, band, width, height, true_width, chunk_w, mode):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copy(slot, b):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * band, band + 2 * HALO), :],
+            scratch.at[slot], sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        copy((i + 1) % 2, i + 1).start()
+
+    copy(i % 2, i).wait()
+    xb = scratch[i % 2]
+    band_start = i * band
+    h = band + 2 * HALO
+
+    for ci in range(width // chunk_w):
+        x = jax.lax.slice(
+            xb, (0, ci * chunk_w), (h, ci * chunk_w + chunk_w + 2 * HALO))
+        ch, cw = h - 6, chunk_w + 2 * HALO - 6
+        center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
+
+        def tap(dy, dx):
+            return jax.lax.slice(x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw))
+
+        diffs = [(tap(dy, dx) - center).astype(jnp.bfloat16)
+                 for (dy, dx) in CIRCLE_OFFSETS]
+
+        def seg_reduce(op, outer):
+            suf = list(diffs)
+            for blk in (0, 8):
+                for s in range(blk + 6, blk - 1, -1):
+                    suf[s] = op(diffs[s], suf[s + 1])
+            pre = list(diffs)
+            for blk in (0, 8):
+                for j in range(blk + 1, blk + 8):
+                    pre[j] = op(pre[j - 1], diffs[j])
+            acc = None
+            for s in range(16):
+                w9 = op(suf[s], pre[(s + 8) % 16])
+                acc = w9 if acc is None else outer(acc, w9)
+            return acc
+
+        if mode == "fused":
+            sufn, sufx = list(diffs), list(diffs)
+            for blk in (0, 8):
+                for s in range(blk + 6, blk - 1, -1):
+                    d = diffs[s]
+                    sufn[s] = jnp.minimum(d, sufn[s + 1])
+                    sufx[s] = jnp.maximum(d, sufx[s + 1])
+            pren, prex = list(diffs), list(diffs)
+            for blk in (0, 8):
+                for j in range(blk + 1, blk + 8):
+                    d = diffs[j]
+                    pren[j] = jnp.minimum(pren[j - 1], d)
+                    prex[j] = jnp.maximum(prex[j - 1], d)
+            bright = dark = None
+            for s in range(16):
+                w9n = jnp.minimum(sufn[s], pren[(s + 8) % 16])
+                w9x = jnp.maximum(sufx[s], prex[(s + 8) % 16])
+                bright = w9n if bright is None else jnp.maximum(bright, w9n)
+                dark = w9x if dark is None else jnp.minimum(dark, w9x)
+            dark = -dark
+        else:  # split
+            bright = seg_reduce(jnp.minimum, jnp.maximum)
+            dark = -seg_reduce(jnp.maximum, jnp.minimum)
+        score = jnp.maximum(bright, dark).astype(jnp.float32)
+        score = jnp.where(score > threshold, score, 0.0)
+
+        gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
+        gx = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+              + ci * chunk_w - 1)
+        ring_ok = ((gy >= 3) & (gy < height - 3)
+                   & (gx >= 3) & (gx < true_width - 3))
+        score = jnp.where(ring_ok, score, 0.0)
+
+        def nbr(dy, dx):
+            return jax.lax.slice(
+                score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + chunk_w))
+
+        s0 = nbr(0, 0)
+        neigh = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nb = nbr(dy, dx)
+                neigh = nb if neigh is None else jnp.maximum(neigh, nb)
+        out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.where(
+            s0 >= neigh, s0, 0.0)
+
+
+def variant_scores_pol(img, threshold, band, chunk_w, mode):
+    h, w = img.shape
+    pad_h = (-h) % band
+    w_out = w + ((-w) % chunk_w)
+    w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    x = jnp.pad(img.astype(jnp.float32),
+                ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)))
+    n_bands = (h + pad_h) // band
+    out = pl.pallas_call(
+        partial(_kernel_pol, threshold=float(threshold), band=band,
+                width=w_out, height=h, true_width=w, chunk_w=chunk_w,
+                mode=mode),
+        out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((band, w_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, band + 2 * HALO, w_in), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x)
+    return out[:h, :w]
+
+
+def main4():
+    enable_compilation_cache()
+    cfg = DEFAULT_CONFIG
+    hw = (1080, 1920)
+    B, ITERS = 8, 3
+    _, frames = synthesize(4, hw, hw, B * (ITERS + 1))
+
+    variants = [
+        ("current b64 c512 ", lambda a: fast_scores_pallas(a, 20)),
+        ("fused   b64 c512 ", lambda a: variant_scores_pol(a, 20, 64, 512, "fused")),
+        ("fused   b64 c256 ", lambda a: variant_scores_pol(a, 20, 64, 256, "fused")),
+        ("fused   b32 c512 ", lambda a: variant_scores_pol(a, 20, 32, 512, "fused")),
+        ("current b64 c256 ", lambda a: fast_scores_pallas(a, 20, chunk_w=256)),
+        ("current b64 c1024", lambda a: fast_scores_pallas(a, 20, chunk_w=1024)),
+    ]
+    ref_val = None
+    for name, fn in variants:
+        def run(fr, f=fn):
+            def one(im):
+                atlas = F.build_pyramid(im, cfg.orb)
+                return jnp.sum(f(atlas))
+            return jax.lax.map(one, fr)
+        try:
+            jf = jax.jit(run)
+            batches = [jnp.asarray(frames[i * B:(i + 1) * B]) for i in range(ITERS + 1)]
+            t0 = time.time(); ref = np.asarray(jf(batches[0])); comp = time.time() - t0
+            ts = []
+            for i in range(1, ITERS + 1):
+                t0 = time.time(); np.asarray(jf(batches[i])); ts.append(time.time() - t0)
+            if ref_val is None:
+                ref_val = ref[0]
+            agree = "OK" if abs(ref[0] - ref_val) < 1 else f"MISMATCH({ref[0]:.0f} vs {ref_val:.0f})"
+            print(f"{name}  {min(ts)*1000/B:7.2f} ms/frame (batch {min(ts)*1000:.0f} ms, "
+                  f"compile {comp:.0f}s, {agree})", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "pol":
+    main4()
