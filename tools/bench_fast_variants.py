@@ -649,6 +649,8 @@ def main4():
         ("fused   b64 c512 ", lambda a: variant_scores_pol(a, 20, 64, 512, "fused")),
         ("fused   b64 c256 ", lambda a: variant_scores_pol(a, 20, 64, 256, "fused")),
         ("fused   b32 c512 ", lambda a: variant_scores_pol(a, 20, 32, 512, "fused")),
+        ("split   b64 c512 ", lambda a: variant_scores_pol(a, 20, 64, 512, "split")),
+        ("split   b32 c512 ", lambda a: variant_scores_pol(a, 20, 32, 512, "split")),
         ("current b64 c256 ", lambda a: fast_scores_pallas(a, 20, chunk_w=256)),
         ("current b64 c1024", lambda a: fast_scores_pallas(a, 20, chunk_w=1024)),
     ]
