@@ -165,3 +165,20 @@ def test_fused_descriptor_clamps_padded_slots():
     )
     assert np.asarray(bits).shape == (2, 256)
     assert set(np.unique(np.asarray(bits))) <= {-1, 1}
+
+
+def test_mxu_roll_mode_bit_equals_vpu():
+    """The MXU permutation-matmul window alignment (roll_mode="mxu") is a
+    pure reformulation of the dynamic VPU rotates: descriptors must be
+    bit-identical between the modes."""
+    rng = np.random.RandomState(7)
+    h, w = 300, 640
+    atlas = jnp.asarray((rng.rand(h, w) * 255).astype(np.float32))
+    n = 48
+    ys = jnp.asarray(rng.randint(orb.HALF_PATCH, h - orb.HALF_PATCH, n), jnp.int32)
+    xs = jnp.asarray(rng.randint(orb.HALF_PATCH, w - orb.HALF_PATCH, n), jnp.int32)
+    args = (atlas, ys, xs, jnp.zeros(n, jnp.int32),
+            jnp.full((n,), h, jnp.int32), jnp.full((n,), w, jnp.int32))
+    b_vpu = np.asarray(orb_descriptors_pallas(*args, interpret=True, roll_mode="vpu"))
+    b_mxu = np.asarray(orb_descriptors_pallas(*args, interpret=True, roll_mode="mxu"))
+    assert (b_vpu == b_mxu).all()

@@ -165,9 +165,35 @@ def main():
             return kps.score.sum()
         return jax.lax.map(one, fr)
 
+    def mk_prod(roll_mode):
+        # The PRODUCTION two-pass kernel (pallas_orb.orb_descriptors_pallas)
+        # with the given pass-1 window-alignment mode: "vpu" = dynamic
+        # rotates (f32 upcast), "mxu" = permutation-matmul rolls.
+        def run(fr):
+            def one(f):
+                atlas = F.build_pyramid(f, cfg.orb)
+                kps = F.detect_pyramid(atlas, meta, cfg.orb)
+                import numpy as _np
+                offsets = _np.asarray(meta.offsets, _np.int32)
+                xoffsets = _np.asarray(meta.xoffsets, _np.int32)
+                heights = _np.asarray([s[0] for s in meta.sizes], _np.int32)
+                widths = _np.asarray([s[1] for s in meta.sizes], _np.int32)
+                y_lo = jnp.take(jnp.asarray(offsets), kps.level)
+                y_abs = kps.y + y_lo
+                y_hi = y_lo + jnp.take(jnp.asarray(heights), kps.level)
+                x_lo = jnp.take(jnp.asarray(xoffsets), kps.level)
+                x_abs = kps.x + x_lo
+                x_hi = x_lo + jnp.take(jnp.asarray(widths), kps.level)
+                bits = po.orb_descriptors_pallas(
+                    atlas, y_abs, x_abs, y_lo, y_hi, x_hi,
+                    x_lo=x_lo, roll_mode=roll_mode)
+                return bits.astype(jnp.int32).sum()
+            return jax.lax.map(one, fr)
+        return run
+
     variants = [("detect", detect_only)] + [
         (m, mk(m)) for m in ("dmaonly", "noroll", "nodesc", "full")
-    ]
+    ] + [(f"prod-{m}", mk_prod(m)) for m in ("vpu", "mxu")]
     for name, fn in variants:
         try:
             jf = jax.jit(fn)
