@@ -50,6 +50,23 @@ class OrbConfig:
                                     # band DMA pipeline across frames while
                                     # lax.map lets XLA overlap the per-frame
                                     # launches; tools/bench_config_ab.py).
+    fast_chunk_w: int = 512         # FAST kernel column-chunk width (lane
+                                    # multiple of 128). 640 divides 1920
+                                    # exactly — no 2048 round-up columns.
+    describe_roll_mode: str = "vpu"  # descriptor pass-1 window alignment:
+                                    # "vpu" dynamic rotates | "mxu"
+                                    # permutation matmuls (bit-identical;
+                                    # see ops/pallas_orb._kernel_bins)
+    atlas_bf16: bool = False        # store the pyramid atlas as bfloat16:
+                                    # halves the FAST sweep's DMA + tap-plane
+                                    # VMEM traffic. Level-0 pixels (integers
+                                    # <= 255) are exact in bf16; upper-level
+                                    # resized pixels round at the same ~0.5
+                                    # scale the describe kernel's bf16
+                                    # windows already round at. The FAST
+                                    # cascade itself is bf16 either way, and
+                                    # the Pallas and XLA paths stay mutually
+                                    # bit-identical on a bf16 atlas.
     descriptor_bits: int = 256      # rBRIEF descriptor length in bits
     blur_ksize: int = 7             # Gaussian blur before description (OpenCV ORB)
     blur_sigma: float = 2.0

@@ -158,7 +158,9 @@ def _match_detected(
     of the atlas."""
     n_slides, k_per_slide = index.pts.shape[0], index.pts.shape[1]
     h, w = meta.sizes[0]
-    frame = jax.lax.slice(atlas, (0, 0), (h, w))
+    # Level 0 holds the raw frame pixels (integers <= 255 — exact even when
+    # the atlas is stored bf16); verification math stays float32.
+    frame = jax.lax.slice(atlas, (0, 0), (h, w)).astype(jnp.float32)
     buckets = _query_buckets(cfg)
 
     # Train-id strategy: when the (possibly screened) table is barely wider
@@ -430,7 +432,9 @@ def match_frames(
     def chunk_fn(args):
         fr, seeds = args  # [C, H, W], [C]
         atl = jax.lax.map(lambda im: features_ops.build_pyramid(im, cfg.orb), fr)
-        scores = fast_ops.score_map_batch(atl, cfg.orb.fast_threshold)
+        scores = fast_ops.score_map_batch(
+            atl, cfg.orb.fast_threshold, cfg.orb.fast_chunk_w
+        )
         kps = jax.lax.map(
             lambda s: features_ops.detect_from_scores(s, meta, cfg.orb), scores
         )

@@ -82,7 +82,7 @@ def nms3x3(score: jax.Array) -> jax.Array:
     return jnp.where(score >= neigh, score, 0.0)
 
 
-def score_map(img: jax.Array, threshold: int) -> jax.Array:
+def score_map(img: jax.Array, threshold: int, chunk_w: int = 512) -> jax.Array:
     """NMS'd FAST score map of a [H, W] image, backend-dispatched.
 
     On TPU this is the fused single-pass Pallas kernel (ops/pallas_fast.py,
@@ -91,15 +91,18 @@ def score_map(img: jax.Array, threshold: int) -> jax.Array:
     contaminated by the neighboring level's rows, but every consumer masks a
     >=62 px per-level border (edge_threshold) before using them, so one
     atlas-wide pass equals per-level passes on all surviving pixels.
+    chunk_w selects the Pallas kernel's column-chunk width (ignored on CPU).
     """
     if jax.default_backend() == "cpu":
         return nms3x3(fast_scores(img, threshold))
     from .pallas_fast import fast_scores_pallas
 
-    return fast_scores_pallas(img, threshold)
+    return fast_scores_pallas(img, threshold, chunk_w=chunk_w)
 
 
-def score_map_batch(imgs: jax.Array, threshold: int) -> jax.Array:
+def score_map_batch(
+    imgs: jax.Array, threshold: int, chunk_w: int = 512
+) -> jax.Array:
     """NMS'd FAST score maps of a [B, H, W] batch, backend-dispatched.
 
     On TPU: one Pallas launch with grid (B, n_bands) — per-frame results are
@@ -110,7 +113,7 @@ def score_map_batch(imgs: jax.Array, threshold: int) -> jax.Array:
         return jax.lax.map(lambda im: nms3x3(fast_scores(im, threshold)), imgs)
     from .pallas_fast import fast_scores_pallas_batch
 
-    return fast_scores_pallas_batch(imgs, threshold)
+    return fast_scores_pallas_batch(imgs, threshold, chunk_w=chunk_w)
 
 
 def detect_keypoints(

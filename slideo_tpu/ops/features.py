@@ -217,14 +217,17 @@ def build_pyramid(img: jax.Array, cfg: OrbConfig) -> jax.Array:
     """
     h, w = img.shape
     meta = pyramid_meta(h, w, cfg)
-    atlas = jnp.zeros(meta.atlas_hw, jnp.float32)
+    dtype = jnp.bfloat16 if cfg.atlas_bf16 else jnp.float32
+    atlas = jnp.zeros(meta.atlas_hw, dtype)
     prev = img.astype(jnp.float32)
     for lvl, ((lh, lw), off, xoff) in enumerate(
         zip(meta.sizes, meta.offsets, meta.xoffsets)
     ):
         if lvl > 0:
+            # The level chain stays float32 (successive resizes don't
+            # accumulate bf16 rounding); only the stored atlas quantizes.
             prev = resize_65(prev)
-        atlas = jax.lax.dynamic_update_slice(atlas, prev, (off, xoff))
+        atlas = jax.lax.dynamic_update_slice(atlas, prev.astype(dtype), (off, xoff))
     return atlas
 
 
@@ -245,7 +248,7 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
     makes level-boundary contamination unreachable, so per-level results are
     identical (see fast.score_map). Only the top-k runs per level (quotas).
     """
-    score_atlas = fast.score_map(atlas, cfg.fast_threshold)
+    score_atlas = fast.score_map(atlas, cfg.fast_threshold, cfg.fast_chunk_w)
     return detect_from_scores(score_atlas, meta, cfg)
 
 
@@ -351,12 +354,12 @@ def describe(
             atlas, y_abs, x_abs, y_lo, y_hi, x_hi,
             cfg.descriptor_bits, cfg.pattern_seed,
             cfg.blur_ksize, cfg.blur_sigma,
-            x_lo=x_lo,
+            x_lo=x_lo, roll_mode=cfg.describe_roll_mode,
         )
     else:
         patches = orb.extract_patches(
             atlas, y_abs, x_abs, y_lo, y_hi, x_hi, x_lo
-        )
+        ).astype(jnp.float32)  # bf16 atlas: values stay quantized, math f32
         cos, sin = orb.orientations(patches)
         blurred = orb.blur_patches(patches, cfg.blur_ksize, cfg.blur_sigma)
         desc = orb.descriptors(

@@ -190,8 +190,9 @@ def fast_scores_pallas(
     # width must be chunk-aligned too.
     w_out = w + ((-w) % chunk_w)
     w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    dt = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
     x = jnp.pad(
-        img.astype(jnp.float32),
+        img.astype(dt),
         ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)),
     )
     n_bands = (h + pad_h) // band
@@ -208,7 +209,7 @@ def fast_scores_pallas(
             (band, w_out), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, band + 2 * HALO, w_in), jnp.float32),
+            pltpu.VMEM((2, band + 2 * HALO, w_in), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -241,8 +242,9 @@ def fast_scores_pallas_batch(
     pad_h = (-h) % band
     w_out = w + ((-w) % chunk_w)
     w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    dt = imgs.dtype if imgs.dtype == jnp.bfloat16 else jnp.float32
     x = jnp.pad(
-        imgs.astype(jnp.float32),
+        imgs.astype(dt),
         ((0, 0), (HALO, HALO + pad_h), (HALO, w_in - w - HALO)),
     )
     n_bands = (h + pad_h) // band
@@ -259,7 +261,7 @@ def fast_scores_pallas_batch(
             (1, band, w_out), lambda f, i: (f, i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, band + 2 * HALO, w_in), jnp.float32),
+            pltpu.VMEM((2, band + 2 * HALO, w_in), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,

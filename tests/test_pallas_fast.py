@@ -50,3 +50,41 @@ def test_pallas_fast_batched_parity(rng):
     )
     for b in range(3):
         np.testing.assert_array_equal(got[b], _ref(imgs[b]), err_msg=f"frame {b}")
+
+
+def test_pallas_fast_bf16_input_parity(rng):
+    """On a bf16 image (the atlas_bf16 config) the Pallas kernel and the XLA
+    path must stay mutually bit-identical, and on integer pixels (level 0 of
+    the atlas) bf16 storage must not change scores at all."""
+    img = (rng.rand(160, 256) * 255).astype(np.uint8).astype(np.float32)
+    # non-integer values too (like resized upper pyramid levels)
+    img[80:] += 0.37
+    imb = jnp.asarray(img).astype(jnp.bfloat16)
+    got = np.asarray(fast_scores_pallas(imb, 20, band=64, interpret=True))
+    ref = _ref(np.asarray(imb))  # XLA path on the same bf16 values
+    assert (got == ref).all()
+    # integer region: identical to the f32-atlas scores
+    f32 = np.asarray(fast_scores_pallas(jnp.asarray(img[:80]), 20, band=64,
+                                        interpret=True))
+    assert (got[:77] == f32[:77]).sum() >= (77 * 256) - 256 * 4  # halo rows differ
+
+
+def test_features_atlas_bf16_pipeline(rng):
+    """extract_features with atlas_bf16=True runs end-to-end and finds
+    essentially the same keypoints on integer-pixel content."""
+    import dataclasses
+
+    from slideo_tpu.config import DEFAULT_CONFIG
+    from slideo_tpu.ops import features as F
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG.orb, n_features=200, n_levels=3, max_keypoints=256,
+        edge_threshold=31, query_buckets=(256,),
+    )
+    cfgb = dataclasses.replace(cfg, atlas_bf16=True)
+    img = jnp.asarray((rng.rand(200, 320) * 255).astype(np.uint8), jnp.float32)
+    fa = F.extract_features(img, cfg)
+    fb = F.extract_features(img, cfgb)
+    na, nb = int(np.sum(np.asarray(fa.valid))), int(np.sum(np.asarray(fb.valid)))
+    assert na > 20
+    assert abs(na - nb) <= max(2, na // 20)

@@ -71,6 +71,18 @@ def main():
             cfg = dataclasses.replace(
                 cfg, orb=dataclasses.replace(cfg.orb, detect_batch=1)
             )
+        # Round-3 kernel variants (composable: "bf16atlas+c640+mxuroll").
+        orb_kw = {}
+        if "bf16atlas" in name:
+            orb_kw["atlas_bf16"] = True
+        if "c640" in name:
+            orb_kw["fast_chunk_w"] = 640
+        if "mxuroll" in name:
+            orb_kw["describe_roll_mode"] = "mxu"
+        if orb_kw:
+            cfg = dataclasses.replace(
+                cfg, orb=dataclasses.replace(cfg.orb, **orb_kw)
+            )
         return cfg
 
     for name in args.variants.split(","):

@@ -617,7 +617,8 @@ def variant_scores_pol(img, threshold, band, chunk_w, mode):
     pad_h = (-h) % band
     w_out = w + ((-w) % chunk_w)
     w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
-    x = jnp.pad(img.astype(jnp.float32),
+    dt = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
+    x = jnp.pad(img.astype(dt),
                 ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)))
     n_bands = (h + pad_h) // band
     out = pl.pallas_call(
@@ -630,7 +631,7 @@ def variant_scores_pol(img, threshold, band, chunk_w, mode):
         out_specs=pl.BlockSpec((band, w_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, band + 2 * HALO, w_in), jnp.float32),
+            pltpu.VMEM((2, band + 2 * HALO, w_in), dt),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(x)
@@ -653,6 +654,21 @@ def main4():
         ("split   b32 c512 ", lambda a: variant_scores_pol(a, 20, 32, 512, "split")),
         ("current b64 c256 ", lambda a: fast_scores_pallas(a, 20, chunk_w=256)),
         ("current b64 c1024", lambda a: fast_scores_pallas(a, 20, chunk_w=1024)),
+        # c640 divides 1920 exactly: kills the 1920->2048 chunk round-up.
+        ("current b64 c640 ", lambda a: fast_scores_pallas(a, 20, chunk_w=640)),
+        # bf16 input planes (the atlas_bf16 config): halves DMA + tap bytes.
+        # NOTE: scores differ from the f32 variants on non-integer pixels
+        # (upper pyramid levels) — the checksum may mismatch slightly.
+        ("bf16in  b64 c512 ", lambda a: fast_scores_pallas(
+            a.astype(jnp.bfloat16), 20)),
+        ("bf16in  b64 c640 ", lambda a: fast_scores_pallas(
+            a.astype(jnp.bfloat16), 20, chunk_w=640)),
+        ("bf16split b64 c640", lambda a: variant_scores_pol(
+            a.astype(jnp.bfloat16), 20, 64, 640, "split")),
+        ("bf16split b64 c512", lambda a: variant_scores_pol(
+            a.astype(jnp.bfloat16), 20, 64, 512, "split")),
+        ("bf16fused b64 c640", lambda a: variant_scores_pol(
+            a.astype(jnp.bfloat16), 20, 64, 640, "fused")),
     ]
     ref_val = None
     for name, fn in variants:
