@@ -57,6 +57,14 @@ class OrbConfig:
                                     # "vpu" dynamic rotates | "mxu"
                                     # permutation matmuls (bit-identical;
                                     # see ops/pallas_orb._kernel_bins)
+    resize_bf16: bool = False       # run the pyramid resize matmuls with
+                                    # bf16 inputs (f32 accumulation). The
+                                    # v5e MXU computes bf16 natively; f32
+                                    # matmuls lower to multiple bf16
+                                    # passes, so this is ~3x on the
+                                    # compute-bound resize chain at ~0.3%
+                                    # per-level pixel rounding (fidelity
+                                    # gates arbitrate).
     atlas_bf16: bool = False        # store the pyramid atlas as bfloat16:
                                     # halves the FAST sweep's DMA + tap-plane
                                     # VMEM traffic. Level-0 pixels (integers

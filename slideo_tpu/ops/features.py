@@ -187,7 +187,7 @@ def _resize_65_weights(n_out: int, n_in: int) -> jax.Array:
     return jnp.maximum(0.0, 1.0 - jnp.abs(d))
 
 
-def resize_65(img: jax.Array) -> jax.Array:
+def resize_65(img: jax.Array, bf16: bool = False) -> jax.Array:
     """Downscale [H, W] by exactly 1.2x per axis (edge-padded to mult of 6).
 
     Coordinate convention per step: src = 1.2 * dst + 0.1 (OpenCV's
@@ -195,16 +195,21 @@ def resize_65(img: jax.Array) -> jax.Array:
     level->level0 is the affine map  x0 = 1.2**l * x + (1.2**l - 1) / 2.
     Rows resize first, then columns (two dense MXU matmuls; see
     _resize_65_weights for why dense beats the sparse block form).
+    bf16=True casts matmul inputs to bfloat16 (f32 accumulation) — the
+    MXU's native rate, ~0.3% pixel rounding per level.
     """
     h, w = img.shape
     oh, ow = _next_65(h), _next_65(w)
-    r = _resize_65_weights(oh, h)
-    c = _resize_65_weights(ow, w)
+    dt = jnp.bfloat16 if bf16 else jnp.float32
+    r = _resize_65_weights(oh, h).astype(dt)
+    c = _resize_65_weights(ow, w).astype(dt)
     x = jax.lax.dot_general(
-        r, img, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        r, img.astype(dt), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     return jax.lax.dot_general(
-        x, c, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        x.astype(dt), c, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
 
 
@@ -224,9 +229,9 @@ def build_pyramid(img: jax.Array, cfg: OrbConfig) -> jax.Array:
         zip(meta.sizes, meta.offsets, meta.xoffsets)
     ):
         if lvl > 0:
-            # The level chain stays float32 (successive resizes don't
-            # accumulate bf16 rounding); only the stored atlas quantizes.
-            prev = resize_65(prev)
+            # The level chain stays float32 between steps; atlas_bf16 only
+            # quantizes the stored copy, resize_bf16 the matmul inputs.
+            prev = resize_65(prev, bf16=cfg.resize_bf16)
         atlas = jax.lax.dynamic_update_slice(atlas, prev.astype(dtype), (off, xoff))
     return atlas
 

@@ -79,6 +79,8 @@ def main():
             orb_kw["fast_chunk_w"] = 640
         if "mxuroll" in name:
             orb_kw["describe_roll_mode"] = "mxu"
+        if "bf16resize" in name:
+            orb_kw["resize_bf16"] = True
         if orb_kw:
             cfg = dataclasses.replace(
                 cfg, orb=dataclasses.replace(cfg.orb, **orb_kw)

@@ -669,14 +669,31 @@ def main4():
             a.astype(jnp.bfloat16), 20, 64, 512, "split")),
         ("bf16fused b64 c640", lambda a: variant_scores_pol(
             a.astype(jnp.bfloat16), 20, 64, 640, "fused")),
+        # Width-concat 2 frames per sweep: halves per-frame grid/DMA fixed
+        # costs without the (B, bands) grid's serialized DMA pipeline.
+        # (Handled specially in the loop below: checksum comparable.)
+        ("wide2   b64 c640 ", "wide2"),
     ]
     ref_val = None
     for name, fn in variants:
-        def run(fr, f=fn):
-            def one(im):
-                atlas = F.build_pyramid(im, cfg.orb)
-                return jnp.sum(f(atlas))
-            return jax.lax.map(one, fr)
+        if fn == "wide2":
+            def run(fr):
+                def one(pair):
+                    a = F.build_pyramid(pair[0], cfg.orb)
+                    b2 = F.build_pyramid(pair[1], cfg.orb)
+                    wide = jnp.concatenate([a, b2], axis=1)
+                    # seam ring scores differ from per-frame sweeps (the
+                    # 3px border mask sits at the concat edges) -- checksum
+                    # is indicative only.
+                    return jnp.sum(fast_scores_pallas(wide, 20, chunk_w=640))
+                h, w = fr.shape[1], fr.shape[2]
+                return jax.lax.map(one, fr.reshape(-1, 2, h, w))
+        else:
+            def run(fr, f=fn):
+                def one(im):
+                    atlas = F.build_pyramid(im, cfg.orb)
+                    return jnp.sum(f(atlas))
+                return jax.lax.map(one, fr)
         try:
             jf = jax.jit(run)
             batches = [jnp.asarray(frames[i * B:(i + 1) * B]) for i in range(ITERS + 1)]
