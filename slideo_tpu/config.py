@@ -50,6 +50,10 @@ class OrbConfig:
                                     # band DMA pipeline across frames while
                                     # lax.map lets XLA overlap the per-frame
                                     # launches; tools/bench_config_ab.py).
+    fast_polarity_fused: bool = False  # interleave the FAST kernel's
+                                    # bright/dark van Herk chains (one read
+                                    # of each diff plane per chain step;
+                                    # identical scores — scheduling only)
     fast_chunk_w: int = 512         # FAST kernel column-chunk width (lane
                                     # multiple of 128). 640 divides 1920
                                     # exactly — no 2048 round-up columns.

@@ -433,7 +433,8 @@ def match_frames(
         fr, seeds = args  # [C, H, W], [C]
         atl = jax.lax.map(lambda im: features_ops.build_pyramid(im, cfg.orb), fr)
         scores = fast_ops.score_map_batch(
-            atl, cfg.orb.fast_threshold, cfg.orb.fast_chunk_w
+            atl, cfg.orb.fast_threshold, cfg.orb.fast_chunk_w,
+            cfg.orb.fast_polarity_fused,
         )
         kps = jax.lax.map(
             lambda s: features_ops.detect_from_scores(s, meta, cfg.orb), scores

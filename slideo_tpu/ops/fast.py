@@ -82,7 +82,10 @@ def nms3x3(score: jax.Array) -> jax.Array:
     return jnp.where(score >= neigh, score, 0.0)
 
 
-def score_map(img: jax.Array, threshold: int, chunk_w: int = 512) -> jax.Array:
+def score_map(
+    img: jax.Array, threshold: int, chunk_w: int = 512,
+    polarity_fused: bool = False,
+) -> jax.Array:
     """NMS'd FAST score map of a [H, W] image, backend-dispatched.
 
     On TPU this is the fused single-pass Pallas kernel (ops/pallas_fast.py,
@@ -97,11 +100,14 @@ def score_map(img: jax.Array, threshold: int, chunk_w: int = 512) -> jax.Array:
         return nms3x3(fast_scores(img, threshold))
     from .pallas_fast import fast_scores_pallas
 
-    return fast_scores_pallas(img, threshold, chunk_w=chunk_w)
+    return fast_scores_pallas(
+        img, threshold, chunk_w=chunk_w, polarity_fused=polarity_fused
+    )
 
 
 def score_map_batch(
-    imgs: jax.Array, threshold: int, chunk_w: int = 512
+    imgs: jax.Array, threshold: int, chunk_w: int = 512,
+    polarity_fused: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score maps of a [B, H, W] batch, backend-dispatched.
 
@@ -113,7 +119,9 @@ def score_map_batch(
         return jax.lax.map(lambda im: nms3x3(fast_scores(im, threshold)), imgs)
     from .pallas_fast import fast_scores_pallas_batch
 
-    return fast_scores_pallas_batch(imgs, threshold, chunk_w=chunk_w)
+    return fast_scores_pallas_batch(
+        imgs, threshold, chunk_w=chunk_w, polarity_fused=polarity_fused
+    )
 
 
 def detect_keypoints(

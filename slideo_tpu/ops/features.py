@@ -253,7 +253,9 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
     makes level-boundary contamination unreachable, so per-level results are
     identical (see fast.score_map). Only the top-k runs per level (quotas).
     """
-    score_atlas = fast.score_map(atlas, cfg.fast_threshold, cfg.fast_chunk_w)
+    score_atlas = fast.score_map(
+        atlas, cfg.fast_threshold, cfg.fast_chunk_w, cfg.fast_polarity_fused
+    )
     return detect_from_scores(score_atlas, meta, cfg)
 
 

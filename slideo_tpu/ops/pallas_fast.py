@@ -41,7 +41,7 @@ HALO = 4  # 3 px circle radius + 1 px NMS neighborhood
 def _kernel(
     x_hbm, out_ref, scratch, sem, *,
     threshold: float, band: int, width: int, height: int, true_width: int,
-    chunk_w: int, batched: bool = False,
+    chunk_w: int, batched: bool = False, polarity_fused: bool = False,
 ):
     if batched:
         # Grid (B, n_bands): one launch scores a whole frame batch — the
@@ -132,8 +132,31 @@ def _kernel(
                 acc = w9 if acc is None else outer(acc, w9)
             return acc
 
-        bright = seg_reduce(jnp.minimum, jnp.maximum)
-        dark = -seg_reduce(jnp.maximum, jnp.minimum)
+        if polarity_fused:
+            # Interleave the bright/dark chains so each diffs plane is read
+            # once per chain step (identical math, different schedule).
+            sufn, sufx = list(diffs), list(diffs)
+            for blk in (0, 8):
+                for s in range(blk + 6, blk - 1, -1):
+                    d = diffs[s]
+                    sufn[s] = jnp.minimum(d, sufn[s + 1])
+                    sufx[s] = jnp.maximum(d, sufx[s + 1])
+            pren, prex = list(diffs), list(diffs)
+            for blk in (0, 8):
+                for j in range(blk + 1, blk + 8):
+                    d = diffs[j]
+                    pren[j] = jnp.minimum(pren[j - 1], d)
+                    prex[j] = jnp.maximum(prex[j - 1], d)
+            bright = dark = None
+            for s in range(16):
+                w9n = jnp.minimum(sufn[s], pren[(s + 8) % 16])
+                w9x = jnp.maximum(sufx[s], prex[(s + 8) % 16])
+                bright = w9n if bright is None else jnp.maximum(bright, w9n)
+                dark = w9x if dark is None else jnp.minimum(dark, w9x)
+            dark = -dark
+        else:
+            bright = seg_reduce(jnp.minimum, jnp.maximum)
+            dark = -seg_reduce(jnp.maximum, jnp.minimum)
         score = jnp.maximum(bright, dark).astype(jnp.float32)
         score = jnp.where(score > threshold, score, 0.0)
 
@@ -177,6 +200,7 @@ def fast_scores_pallas(
     band: int = 64,
     chunk_w: int = 512,
     interpret: bool = False,
+    polarity_fused: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score map of a [H, W] float32 image (Pallas kernel).
 
@@ -201,6 +225,7 @@ def fast_scores_pallas(
         partial(
             _kernel, threshold=float(threshold), band=band, width=w_out,
             height=h, true_width=w, chunk_w=chunk_w,
+            polarity_fused=polarity_fused,
         ),
         out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
         grid=(n_bands,),
@@ -230,6 +255,7 @@ def fast_scores_pallas_batch(
     band: int = 64,
     chunk_w: int = 512,
     interpret: bool = False,
+    polarity_fused: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score maps of a [B, H, W] batch in ONE kernel launch.
 
@@ -253,6 +279,7 @@ def fast_scores_pallas_batch(
         partial(
             _kernel, threshold=float(threshold), band=band, width=w_out,
             height=h, true_width=w, chunk_w=chunk_w, batched=True,
+            polarity_fused=polarity_fused,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h + pad_h, w_out), jnp.float32),
         grid=(b, n_bands),

@@ -88,3 +88,13 @@ def test_features_atlas_bf16_pipeline(rng):
     na, nb = int(np.sum(np.asarray(fa.valid))), int(np.sum(np.asarray(fb.valid)))
     assert na > 20
     assert abs(na - nb) <= max(2, na // 20)
+
+
+def test_pallas_fast_polarity_fused_parity(rng):
+    """fast_polarity_fused interleaves the bright/dark van Herk chains —
+    a pure reschedule; scores must be bit-identical."""
+    img = (rng.rand(150, 260) * 255).astype(np.uint8).astype(np.float32)
+    a = np.asarray(fast_scores_pallas(jnp.asarray(img), 20, band=64, interpret=True))
+    b = np.asarray(fast_scores_pallas(jnp.asarray(img), 20, band=64,
+                                      interpret=True, polarity_fused=True))
+    assert (a == b).all()

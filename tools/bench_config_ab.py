@@ -81,6 +81,8 @@ def main():
             orb_kw["describe_roll_mode"] = "mxu"
         if "bf16resize" in name:
             orb_kw["resize_bf16"] = True
+        if "polfused" in name:
+            orb_kw["fast_polarity_fused"] = True
         if orb_kw:
             cfg = dataclasses.replace(
                 cfg, orb=dataclasses.replace(cfg.orb, **orb_kw)
