@@ -239,14 +239,10 @@ def fast_scores_pallas(
         ],
         interpret=interpret,
     )(x)
-    out = out[:, :w]
-    out = out[:h]
-    # Zero the 3px ring where the circle would read padding (parity with
-    # ops/fast.py's explicit border mask).
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inb = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-    return jnp.where(inb, out, 0.0)
+    # The 3px image ring is already exactly zero: the kernel zeroes it
+    # before NMS (ring_ok), and NMS maps zero-score pixels to zero. No
+    # post-mask — it would cost a full extra HBM pass over the score map.
+    return out[:h, :w]
 
 
 def fast_scores_pallas_batch(
@@ -293,8 +289,5 @@ def fast_scores_pallas_batch(
         ],
         interpret=interpret,
     )(x)
-    out = out[:, :h, :w]
-    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inb = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
-    return jnp.where(inb[None], out, 0.0)
+    # Ring already zeroed in-kernel (see fast_scores_pallas).
+    return out[:, :h, :w]
