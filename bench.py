@@ -57,6 +57,41 @@ def synthesize(n_slides: int, slide_hw, frame_hw, batch: int, seed: int = 0):
     return slides, frames
 
 
+def synthesize_realistic_frames(slides, frame_hw, batch: int, seed: int = 3):
+    """Frames in the DOCUMENTED production keypoint regime (200-700 FAST
+    keypoints at threshold 20; reference BACKGROUND.md:11) rather than the
+    quota-saturating worst case `synthesize` produces: a typical lecture
+    slide is mostly empty page with a title and a handful of text lines.
+    Content is a sparse redraw of a deck slide's text layout (same seed
+    family), warped like the worst-case frames — so frames exercise the
+    same match program but take the Q=768 query bucket."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    fh, fw = frame_hw
+    n_slides = slides.shape[0]
+    sh, sw = slides.shape[1], slides.shape[2]
+    frames = np.zeros((batch, fh, fw), np.uint8)
+    for b in range(batch):
+        img = np.full((sh, sw), 255, np.uint8)
+        cv2.putText(img, f"Slide {rng.randint(n_slides)}", (40, 65),
+                    cv2.FONT_HERSHEY_SIMPLEX, 1.4, 30, 3)
+        for i in range(5):
+            y = 160 + 90 * i
+            cv2.putText(img, f"bullet point {rng.randint(1000)}",
+                        (60, y), cv2.FONT_HERSHEY_SIMPLEX, 1.0,
+                        int(rng.randint(0, 90)), 2)
+        m = cv2.getRotationMatrix2D(
+            (sw / 2, sh / 2), rng.uniform(-3, 3), rng.uniform(0.9, 1.0)
+        )
+        m[:, 2] += [rng.uniform(-20, 20), rng.uniform(-15, 15)]
+        f = cv2.warpAffine(img, m, (fw, fh), borderValue=235)
+        frames[b] = np.clip(
+            f.astype(np.float32) + rng.randn(fh, fw) * 2, 0, 255
+        ).astype(np.uint8)
+    return frames
+
+
 def make_video(path, slides, minutes: float, fps: float = 30.0, seed: int = 1):
     """Synthesize a lecture-style 1080p video: each slide shown ~20 s with
     slight affine motion + noise, occasional no-slide (noise) segments.
@@ -302,6 +337,28 @@ def main():
     best = min(times)
     fps = args.batch / best
 
+    # Second regime: the DOCUMENTED production content (200-700 keypoints
+    # per frame, reference BACKGROUND.md:11) — the driver metric stays the
+    # quota-saturating worst case above; this records what a real lecture
+    # costs (the Q=768 query bucket engages). Same compiled program.
+    realistic = synthesize_realistic_frames(
+        slides, frame_hw, args.batch * (args.iters + 1)
+    )
+    rbatches = [
+        jnp.asarray(realistic[i * args.batch : (i + 1) * args.batch])
+        for i in range(args.iters + 1)
+    ]
+    rtimes = []
+    inflight = match(rbatches[0], seeds[0], index)
+    for i in range(1, args.iters + 1):
+        t0 = time.time()
+        nxt = match(rbatches[i], seeds[i], index)
+        np.asarray(inflight.slide)
+        inflight = nxt
+        rtimes.append(time.time() - t0)
+    np.asarray(inflight.slide)
+    fps_realistic = args.batch / min(rtimes)
+
     result = {
         "metric": "matched frames/sec/chip at 1080p (500-slide deck)",
         "value": round(fps, 2),
@@ -319,6 +376,7 @@ def main():
                 "index_source": "warm" if index_warm else "cold",
                 "first_call_s": round(t_compile, 2),
                 "times_s": [round(t, 4) for t in times],
+                "fps_realistic_content": round(fps_realistic, 2),
                 "matched_in_batch": matched,
                 "batch": args.batch,
                 "device": str(jax.devices()[0]),

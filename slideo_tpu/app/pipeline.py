@@ -105,6 +105,73 @@ def pdfs_to_images(
     return pages
 
 
+def _png_size(path: Path) -> tuple[int, int] | None:
+    """(h, w) from a PNG IHDR header without decoding the image, or None."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(26)
+    except OSError:
+        return None
+    if head[:8] == b"\x89PNG\r\n\x1a\n" and head[12:16] == b"IHDR":
+        w = int.from_bytes(head[16:20], "big")
+        h = int.from_bytes(head[20:24], "big")
+        if h > 0 and w > 0:
+            return h, w
+    return None
+
+
+def _page_paths(pages: list) -> list[Path]:
+    return [p.get_path() if hasattr(p, "get_path") else p.image_path for p in pages]
+
+
+def _letterbox_hw(paths: list[Path]) -> tuple[int, int]:
+    """Common letterbox size of a page set — from PNG headers when possible
+    (pdftocairo emits PNGs), full decode only as a fallback, so sizing a
+    500-page deck costs one small read per file instead of 500 decodes."""
+    import cv2
+
+    h = w = 0
+    for path in paths:
+        size = _png_size(path)
+        if size is None:
+            img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise IOError(f"Could not read file '{path}'")
+            size = img.shape
+        h, w = max(h, size[0]), max(w, size[1])
+    return h, w
+
+
+def _iter_page_chunks(paths: list[Path], hw: tuple[int, int], chunk: int):
+    """Decode pages chunk-by-chunk into letterboxed [c, h, w] uint8 batches,
+    prefetching one chunk ahead in a worker thread (cv2.imread releases the
+    GIL) so PNG decode overlaps the device-side index build of the previous
+    chunk."""
+    import cv2
+    from concurrent.futures import ThreadPoolExecutor
+
+    h, w = hw
+
+    def load(c0: int) -> np.ndarray:
+        sub = paths[c0 : c0 + chunk]
+        batch = np.zeros((len(sub), h, w), np.uint8)
+        for i, path in enumerate(sub):
+            img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                raise IOError(f"Could not read file '{path}'")
+            batch[i, : img.shape[0], : img.shape[1]] = img
+        return batch
+
+    starts = list(range(0, len(paths), chunk))
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(load, starts[0])
+        for i in range(len(starts)):
+            batch = fut.result()
+            if i + 1 < len(starts):
+                fut = pool.submit(load, starts[i + 1])
+            yield batch
+
+
 def _load_page_grays(pages: list[PdfPage]) -> tuple[np.ndarray, tuple[int, int]]:
     """Load pages as grayscale and letterbox into one [S, H, W] uint8 batch.
 
@@ -131,7 +198,7 @@ def _load_page_grays(pages: list[PdfPage]) -> tuple[np.ndarray, tuple[int, int]]
 
 # Bump when any change invalidates persisted slide indexes (descriptor
 # pattern, feature pipeline, packing layout, ...).
-_INDEX_FORMAT_VERSION = 1
+_INDEX_FORMAT_VERSION = 2
 
 
 def _index_cache_key(pages: list[PdfPage], cfg) -> str:
@@ -158,8 +225,12 @@ def _index_cache_key(pages: list[PdfPage], cfg) -> str:
 
 
 def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
-    """Persist a built SlideIndex (descriptors packed to bits: ~32 MB for a
-    500-slide deck vs 262 MB raw). Crash-safe: write + atomic rename."""
+    """Persist a built SlideIndex. Descriptors pack to bits (~32 MB for a
+    500-slide deck vs 262 MB raw); verification thumbnails store as float16
+    (max abs error 0.06 on the 0..255 pixel scale — assignment parity is
+    gated by the warm-equality test, tests/test_pipeline.py). pts stay
+    float32: subpixel coordinates up to ~2048 px exceed f16's 11-bit
+    mantissa. Crash-safe: write + atomic rename."""
     target = get_temp_path_key("index", key)
     target.mkdir(parents=True, exist_ok=True)
     di = index.desc_index
@@ -173,7 +244,7 @@ def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
             desc_bits=packed,
             valid=np.packbits(np.asarray(di.valid).reshape(s, k), axis=-1),
             pts=np.asarray(index.pts),
-            smalls=np.asarray(index.smalls),
+            smalls_f16=np.asarray(index.smalls).astype(np.float16),
             slide_hw=np.asarray(slide_hw, np.int32),
             k_per_slide=np.asarray([k], np.int32),
         )
@@ -181,28 +252,30 @@ def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
 
 
 def _save_sift_index(key: str, index, slide_hw: tuple[int, int]) -> None:
-    """Persist a built SiftSlideIndex. Descriptors stay float32 so warm
-    loads are bit-identical to the build (a 500-slide deck is ~500 MB on
-    disk; SIFT decks that large are camera-recording use cases where the
-    build cost dwarfs the disk cost). Crash-safe: write + atomic rename."""
+    """Persist a built SiftSlideIndex. Descriptors and thumbnails store as
+    float16: unit-vector SIFT descriptors lose ~1e-3 relative (matching is
+    dot-product RANKING — the warm-equality and screened-recall gates in
+    tests/test_sift.py arbitrate), and the npz + warm upload halve vs f32
+    (~250 MB for a 500-slide deck). Crash-safe: write + atomic rename."""
     target = get_temp_path_key("index", key)
     target.mkdir(parents=True, exist_ok=True)
     tmp = target / "index.npz.tmp"
     with open(tmp, "wb") as f:
         np.savez(
             f,
-            desc=np.asarray(index.desc),
+            desc_f16=np.asarray(index.desc).astype(np.float16),
             valid=np.packbits(np.asarray(index.valid)),
             pts=np.asarray(index.pts),
             scale=np.asarray(index.scale),
-            smalls=np.asarray(index.smalls),
+            smalls_f16=np.asarray(index.smalls).astype(np.float16),
             slide_hw=np.asarray(slide_hw, np.int32),
         )
     tmp.replace(target / "index.npz")
 
 
 def _load_sift_index(key: str):
-    """Load a persisted SiftSlideIndex; returns (index, slide_hw) or None."""
+    """Load a persisted SiftSlideIndex; returns (index, slide_hw) or None.
+    f16 payloads upload half the bytes and cast to f32 on device."""
     from ..models import sift_matcher
 
     path = get_temp_path_key("index", key) / "index.npz"
@@ -210,13 +283,14 @@ def _load_sift_index(key: str):
         return None
     try:
         with np.load(path) as z:
-            n = z["desc"].shape[0]
+            n = z["desc_f16"].shape[0]
+            up = jax.jit(lambda a: a.astype(jnp.float32))
             result = sift_matcher.SiftSlideIndex(
-                desc=jnp.asarray(z["desc"]),
+                desc=up(jnp.asarray(z["desc_f16"])),
                 valid=jnp.asarray(np.unpackbits(z["valid"])[:n].astype(bool)),
                 pts=jnp.asarray(z["pts"]),
                 scale=jnp.asarray(z["scale"]),
-                smalls=jnp.asarray(z["smalls"]),
+                smalls=up(jnp.asarray(z["smalls_f16"])),
             )
             slide_hw = tuple(int(v) for v in z["slide_hw"])
             return jax.block_until_ready(result), slide_hw
@@ -225,7 +299,14 @@ def _load_sift_index(key: str):
 
 
 def _load_orb_index(key: str):
-    """Load a persisted SlideIndex; returns (SlideIndex, slide_hw) or None."""
+    """Load a persisted SlideIndex; returns (SlideIndex, slide_hw) or None.
+
+    Warm-start critical path: only the PACKED descriptor bits (32 MB at 500
+    slides), f16 thumbnails, and pts cross to the device; bit unpacking and
+    index assembly (incl. the transposed/screening tensors) run in one
+    device program (hamming.unpack_descriptor_bits). The previous host-side
+    unpackbits shipped 262 MB of raw int8 descriptors + 240 MB f32
+    thumbnails — tunnel/PCIe upload dominated warm start."""
     from ..models import orb_matcher
     from ..ops import hamming
 
@@ -234,17 +315,24 @@ def _load_orb_index(key: str):
         return None
     try:
         with np.load(path) as z:
-            s, k = z["desc_bits"].shape[0], int(z["k_per_slide"][0])
-            bits = np.unpackbits(z["desc_bits"], axis=-1)
-            desc = (bits.astype(np.int8) * 2 - 1).reshape(s * k, -1)
-            valid = np.unpackbits(z["valid"], axis=-1)[:, :k].astype(bool)
-            index = jax.jit(hamming.build_index)(
-                jnp.asarray(desc.reshape(s, k, -1)), jnp.asarray(valid)
+            k = int(z["k_per_slide"][0])
+
+            def assemble(desc_bits, valid_bits, smalls_f16):
+                desc, valid = hamming.unpack_descriptor_bits(
+                    desc_bits, valid_bits, k
+                )
+                return (
+                    hamming.build_index(desc, valid),
+                    smalls_f16.astype(jnp.float32),
+                )
+
+            index, smalls = jax.jit(assemble)(
+                jnp.asarray(z["desc_bits"]),
+                jnp.asarray(z["valid"]),
+                jnp.asarray(z["smalls_f16"]),
             )
             result = orb_matcher.SlideIndex(
-                desc_index=index,
-                pts=jnp.asarray(z["pts"]),
-                smalls=jnp.asarray(z["smalls"]),
+                desc_index=index, pts=jnp.asarray(z["pts"]), smalls=smalls
             )
             slide_hw = tuple(int(v) for v in z["slide_hw"])
             return jax.block_until_ready(result), slide_hw
@@ -284,10 +372,20 @@ class MatchingEngine:
         if cached is not None:
             self.index, self.slide_hw = cached
             return
-        grays, self.slide_hw = _load_page_grays(pages)
         if cfg.engine == "orb":
-            self.index = self._build_orb_index(grays)
+            # Streaming cold build: page PNGs decode in a worker thread one
+            # chunk ahead of the device program, so host decode (the
+            # reference's rayon precompute pool, lib.rs:44-56) overlaps
+            # upload + on-device feature extraction instead of preceding it.
+            paths = _page_paths(pages)
+            self.slide_hw = _letterbox_hw(paths)
+            chunk = max(1, min(self._BUILD_CHUNK, len(paths)))
+            self.index = orb_matcher.build_slide_index_from_chunks(
+                _iter_page_chunks(paths, self.slide_hw, chunk),
+                len(paths), cfg, chunk,
+            )
         else:
+            grays, self.slide_hw = _load_page_grays(pages)
             self.index = sift_matcher.build_slide_index_sift_chunked(
                 grays, cfg, chunk=self._BUILD_CHUNK
             )
@@ -295,11 +393,6 @@ class MatchingEngine:
             save(key, self.index, self.slide_hw)
         except OSError:
             pass  # persistence is best-effort; the in-memory index stands
-
-    def _build_orb_index(self, grays: np.ndarray) -> "orb_matcher.SlideIndex":
-        return orb_matcher.build_slide_index_chunked(
-            grays, self.cfg, chunk=self._BUILD_CHUNK
-        )
 
     def _mesh(self):
         """Frame-data-parallel device mesh, when the runtime has >1 device.

@@ -50,26 +50,18 @@ class OrbConfig:
                                     # band DMA pipeline across frames while
                                     # lax.map lets XLA overlap the per-frame
                                     # launches; tools/bench_config_ab.py).
-    fast_polarity_fused: bool = False  # interleave the FAST kernel's
+    fast_polarity_fused: bool = True  # interleave the FAST kernel's
                                     # bright/dark van Herk chains (one read
                                     # of each diff plane per chain step;
-                                    # identical scores — scheduling only)
-    fast_chunk_w: int = 512         # FAST kernel column-chunk width (lane
+                                    # identical scores — scheduling only).
+                                    # v5e A/B: 366.9 vs 390.7 ms/batch-64
+                                    # (r4, tools/bench_config_ab.py).
+    fast_chunk_w: int = 640         # FAST kernel column-chunk width (lane
                                     # multiple of 128). 640 divides 1920
                                     # exactly — no 2048 round-up columns.
-    describe_roll_mode: str = "vpu"  # descriptor pass-1 window alignment:
-                                    # "vpu" dynamic rotates | "mxu"
-                                    # permutation matmuls (bit-identical;
-                                    # see ops/pallas_orb._kernel_bins)
-    resize_bf16: bool = False       # run the pyramid resize matmuls with
-                                    # bf16 inputs (f32 accumulation). The
-                                    # v5e MXU computes bf16 natively; f32
-                                    # matmuls lower to multiple bf16
-                                    # passes, so this is ~3x on the
-                                    # compute-bound resize chain at ~0.3%
-                                    # per-level pixel rounding (fidelity
-                                    # gates arbitrate).
-    atlas_bf16: bool = False        # store the pyramid atlas as bfloat16:
+                                    # v5e A/B: 370.4 vs 390.7 ms/batch-64;
+                                    # composes with fused polarity (362.1).
+    atlas_bf16: bool = True         # store the pyramid atlas as bfloat16:
                                     # halves the FAST sweep's DMA + tap-plane
                                     # VMEM traffic. Level-0 pixels (integers
                                     # <= 255) are exact in bf16; upper-level
@@ -79,6 +71,9 @@ class OrbConfig:
                                     # cascade itself is bf16 either way, and
                                     # the Pallas and XLA paths stay mutually
                                     # bit-identical on a bf16 atlas.
+                                    # v5e A/B: -6.5 ms alone, -20.5 ms on
+                                    # top of polfused+c640 (341.6 vs 390.7
+                                    # ms/batch-64); fidelity gates green.
     descriptor_bits: int = 256      # rBRIEF descriptor length in bits
     blur_ksize: int = 7             # Gaussian blur before description (OpenCV ORB)
     blur_sigma: float = 2.0

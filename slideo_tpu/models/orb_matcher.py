@@ -29,7 +29,7 @@ from ..ops import features as features_ops
 from ..ops import hamming, image, ransac, select, verify
 from ..ops.features import Features, extract_features
 
-__all__ = ["SlideIndex", "FrameMatch", "build_slide_index", "match_frame", "match_frames", "cascade_from_table"]
+__all__ = ["SlideIndex", "FrameMatch", "build_slide_index", "build_slide_index_chunked", "build_slide_index_from_chunks", "match_frame", "match_frames", "cascade_from_table"]
 
 
 class SlideIndex(NamedTuple):
@@ -78,18 +78,28 @@ def build_slide_index_chunked(
     queue back-to-back so chunk c+1's upload overlaps chunk c's compute, and
     device memory holds one chunk of full-res pages instead of the deck.
     """
+    s = slide_grays.shape[0]
+    chunk = max(1, min(chunk, s))
+    chunks = (slide_grays[c : c + chunk] for c in range(0, s, chunk))
+    return build_slide_index_from_chunks(chunks, s, cfg, chunk)
+
+
+def build_slide_index_from_chunks(
+    chunks, n_slides: int, cfg: SlideoConfig, chunk: int
+) -> SlideIndex:
+    """Build the deck index from an iterator of [<=chunk, H, W] uint8 numpy
+    batches (streaming form of build_slide_index_chunked).
+
+    The iterator may produce chunks lazily (e.g. decoding page PNGs in a
+    background thread, pipeline._iter_page_chunks) so host image decode
+    overlaps device upload + feature extraction — on a single-core host the
+    decode cost of a 500-page deck then hides entirely under the build.
+    A short final chunk is padded by repeating its last page (pad rows are
+    trimmed after the concat).
+    """
     import numpy as _np
 
     from ..ops.features import extract_features_batch
-
-    s = slide_grays.shape[0]
-    chunk = max(1, min(chunk, s))
-    n_chunks = -(-s // chunk)
-    pad = n_chunks * chunk - s
-    if pad:
-        slide_grays = _np.concatenate(
-            [slide_grays, _np.repeat(slide_grays[-1:], pad, axis=0)]
-        )
 
     def one_chunk(imgs):
         feats = extract_features_batch(imgs.astype(jnp.float32), cfg.orb)
@@ -97,10 +107,14 @@ def build_slide_index_chunked(
         return feats, smalls
 
     fn = jax.jit(one_chunk)
-    outs = [
-        fn(jnp.asarray(slide_grays[c * chunk : (c + 1) * chunk]))
-        for c in range(n_chunks)
-    ]
+    outs = []
+    for batch in chunks:
+        if batch.shape[0] < chunk:
+            batch = _np.concatenate(
+                [batch, _np.repeat(batch[-1:], chunk - batch.shape[0], axis=0)]
+            )
+        outs.append(fn(jnp.asarray(batch)))
+    s = n_slides
     desc = jnp.concatenate([f.desc for f, _ in outs])[:s]
     valid = jnp.concatenate([f.valid for f, _ in outs])[:s]
     pts = jnp.concatenate([f.pts for f, _ in outs])[:s]

@@ -127,9 +127,26 @@ def match_frame_sift(
     mcfg = cfg.match
 
     feats = extract_sift(frame, cfg.sift)
-    table = hamming.match_table_float(
-        feats.desc, index.desc, index.valid, n_slides, k_per_slide
-    )
+    if n_slides > mcfg.screen_above_slides:
+        # Large decks: bf16 stage-1 voting sweep, exact f32 table over the
+        # cfg.screen_slides survivors only (the ORB engine's two-stage
+        # shape; gate: tests/test_sift.py::test_sift_screened_matches_exact).
+        score = jnp.where(feats.valid, feats.score, -1.0)
+        cand = hamming.screen_slides_float(
+            feats.desc, score, index.desc, index.valid,
+            n_slides, k_per_slide, mcfg,
+        )
+        dsub, vsub = hamming.sub_desc_for_slides(
+            index.desc, index.valid, cand, k_per_slide
+        )
+        table = hamming.match_table_float(
+            feats.desc, dsub, vsub, cand.shape[0], k_per_slide,
+            slide_ids=cand,
+        )
+    else:
+        table = hamming.match_table_float(
+            feats.desc, index.desc, index.valid, n_slides, k_per_slide
+        )
     cands = select.select_candidates_lowe(
         table, feats.valid, mcfg, cfg.sift.lowe_ratio
     )

@@ -230,8 +230,10 @@ def build_pyramid(img: jax.Array, cfg: OrbConfig) -> jax.Array:
     ):
         if lvl > 0:
             # The level chain stays float32 between steps; atlas_bf16 only
-            # quantizes the stored copy, resize_bf16 the matmul inputs.
-            prev = resize_65(prev, bf16=cfg.resize_bf16)
+            # quantizes the stored copy. (bf16 matmul INPUTS for the resize
+            # chain measured a wash on v5e — 390.4 vs 390.7 ms/batch-64, r4
+            # chip A/B — so the resize stays f32-in/f32-acc.)
+            prev = resize_65(prev)
         atlas = jax.lax.dynamic_update_slice(atlas, prev.astype(dtype), (off, xoff))
     return atlas
 
@@ -361,7 +363,7 @@ def describe(
             atlas, y_abs, x_abs, y_lo, y_hi, x_hi,
             cfg.descriptor_bits, cfg.pattern_seed,
             cfg.blur_ksize, cfg.blur_sigma,
-            x_lo=x_lo, roll_mode=cfg.describe_roll_mode,
+            x_lo=x_lo,
         )
     else:
         patches = orb.extract_patches(

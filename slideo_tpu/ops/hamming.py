@@ -82,6 +82,29 @@ def build_screen_desc(desc: jax.Array, valid: jax.Array, s: int, k: int) -> jax.
     return jnp.concatenate([pt, vrows, pad], axis=1)
 
 
+def unpack_descriptor_bits(
+    desc_bits: jax.Array, valid_bits: jax.Array, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side np.unpackbits: packed persisted index -> build_index inputs.
+
+    desc_bits:  [S, K, D//8] uint8 (np.packbits of desc > 0, bitorder "big")
+    valid_bits: [S, ceil(K/8)] uint8 (np.packbits of the validity mask)
+    Returns (desc [S, K, D] int8 in {-1, +1}, valid [S, K] bool).
+
+    Warm index loads ship the PACKED arrays to the device (32 MB for a
+    500-slide deck) and unpack there — the host-side unpackbits + 262 MB
+    raw-descriptor upload this replaces dominated warm-start time on
+    tunneled/remote devices.
+    """
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)  # packbits is MSB-first
+    s = desc_bits.shape[0]
+    bits = (desc_bits[..., None] >> shifts) & jnp.uint8(1)
+    desc = (bits.astype(jnp.int8) * 2 - 1).reshape(s, k, -1)
+    vbits = (valid_bits[..., None] >> shifts) & jnp.uint8(1)
+    valid = vbits.reshape(s, -1)[:, :k].astype(bool)
+    return desc, valid
+
+
 def build_index(slide_desc: jax.Array, slide_valid: jax.Array) -> DescriptorIndex:
     """Build the index from per-slide descriptors [S, K, D] and validity [S, K]."""
     s, k, d = slide_desc.shape
@@ -503,6 +526,87 @@ def match_table_frame(
         query, sub, cand.shape[0], k_per_slide, slide_ids=cand,
         with_train=with_train,
     )
+
+
+def screen_slides_float(
+    query: jax.Array,
+    query_score: jax.Array,
+    desc: jax.Array,
+    valid: jax.Array,
+    n_slides: int,
+    k_per_slide: int,
+    cfg: MatchConfig,
+    chunk_slides: int = 16,
+) -> jax.Array:
+    """Stage-1 slide screening for FLOAT (SIFT) descriptors.
+
+    The strongest cfg.screen_queries frame descriptors vote over per-slide
+    best cosine distances, same within-5%-of-best rule as the Hamming
+    screen (+0.05 absolute margin in unit-vector L2 — the analogue of the
+    Hamming rule's +1 bit, and > the bf16 quantization noise). The sweep
+    contracts in bf16 (f32 accumulation): voting needs ranking, not exact
+    distances — stage 2 re-ranks the survivors with exact f32 descriptors.
+    Returns [min(cfg.screen_slides, n_slides)] int32 slide ids.
+
+    This is what keeps the SIFT engine viable at reference deck scale
+    (SURVEY §2.6): the exact [Q, S*K] f32 table is ~270 GMAC/frame at 500
+    slides; the bf16 voting sweep + exact table over cfg.screen_slides
+    survivors is ~25x less work. Recall gate:
+    tests/test_sift.py::test_sift_screened_matches_exact.
+    """
+    _, top_q = jax.lax.top_k(query_score, min(cfg.screen_queries, query.shape[0]))
+    q_sub = jnp.take(query, top_q, axis=0).astype(jnp.bfloat16)
+    qs = q_sub.shape[0]
+    d_dim = desc.shape[-1]
+    chunk_slides = max(1, min(chunk_slides, n_slides))
+    pad_s = (-n_slides) % chunk_slides
+    desc3 = desc.reshape(n_slides, k_per_slide, d_dim)
+    valid3 = valid.reshape(n_slides, k_per_slide)
+    if pad_s:
+        desc3 = jnp.pad(desc3, ((0, pad_s), (0, 0), (0, 0)))
+        valid3 = jnp.pad(valid3, ((0, pad_s), (0, 0)))
+    n_chunks = desc3.shape[0] // chunk_slides
+    desc_c = desc3.astype(jnp.bfloat16).reshape(
+        n_chunks, chunk_slides * k_per_slide, d_dim
+    )
+    valid_c = valid3.reshape(n_chunks, chunk_slides, k_per_slide)
+
+    def step(_, inputs):
+        dchunk, vchunk = inputs
+        dots = jax.lax.dot_general(
+            q_sub, dchunk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(qs, chunk_slides, k_per_slide)
+        dots = jnp.where(vchunk[None], dots, jnp.float32(-2.0))
+        return None, jnp.max(dots, axis=-1)
+
+    _, best_dot = jax.lax.scan(step, None, (desc_c, valid_c))
+    best_dot = jnp.moveaxis(best_dot, 0, 1).reshape(qs, -1)[:, :n_slides]
+    dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best_dot, 0.0))
+    bestd = jnp.min(dist, axis=1, keepdims=True)
+    keep = dist <= bestd * 1.05 + 0.05
+    votes = jnp.sum(keep, axis=0).astype(jnp.float32)
+    _, top = jax.lax.top_k(votes, min(cfg.screen_slides, n_slides))
+    return top.astype(jnp.int32)
+
+
+def sub_desc_for_slides(
+    desc: jax.Array, valid: jax.Array, cand: jax.Array, k_per_slide: int
+) -> tuple[jax.Array, jax.Array]:
+    """Candidate-slide float descriptor block: contiguous per-slide dynamic
+    slices of the flat [S*K, D] arrays (float analogue of
+    sub_index_for_slides). Returns ([C*K, D], [C*K])."""
+    d_dim = desc.shape[-1]
+
+    def slice_slide(c):
+        row0 = c * k_per_slide
+        return (
+            jax.lax.dynamic_slice(desc, (row0, 0), (k_per_slide, d_dim)),
+            jax.lax.dynamic_slice(valid, (row0,), (k_per_slide,)),
+        )
+
+    dsub, vsub = jax.lax.map(slice_slide, cand)
+    return dsub.reshape(-1, d_dim), vsub.reshape(-1)
 
 
 def knn(query: jax.Array, index: DescriptorIndex, k: int, chunk: int) -> KnnResult:

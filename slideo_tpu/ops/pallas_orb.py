@@ -164,21 +164,18 @@ def _wait_window(atlas_hbm, wins, sems, yb, xb, slot, idx, k):
     ).wait()
 
 
-def _kernel_bins(yb, xb, rr, cc, atlas_hbm, mx, my, tr, tc, out_ref, win_out,
-                 wins, sems, *, roll_mode: str = "mxu"):
+def _kernel_bins(yb, xb, rr, cc, atlas_hbm, mx, my, out_ref, win_out,
+                 wins, sems):
     """Pass 1: per-keypoint orientation bin (DMA + rolls + moments), PLUS
     the rolled, patch-aligned [72, 128] bf16 window written to HBM so pass 2
     never repeats the alignment work.
 
-    roll_mode="mxu": a roll is a permutation, and a permutation is a matmul.
-    The per-keypoint one-hot shift matrices come from ONE compare each
-    against the static ``(i - j) mod n`` tables (tr/tc), and the two aligned
-    window axes are produced by two small bf16 MXU contractions — exact
-    (each output element is a single product of exact values), no f32
-    upcast, and the work moves off the VPU (the FAST+describe bottleneck)
-    onto the otherwise-idle MXU. The VPU form ("vpu", pltpu.roll) needs a
-    [80, 256] f32 upcast (Mosaic's dynamic rotate is 32-bit-only) plus two
-    log-stage dynamic rotates per keypoint.
+    Window alignment uses VPU dynamic rotates. An MXU permutation-matmul
+    form (one-hot shift matrices contracted on the MXU) was measured
+    SLOWER on v5e — 406 vs 391 ms/batch-64 end-to-end, and +17 ms even on
+    top of the shipped fused-polarity config (r4 chip A/B) — the two
+    [80, 80] x [80, 256] matmuls per keypoint cost more issue slots than
+    the two log-stage rotates they replace. Deleted, not gated.
     """
     i = pl.program_id(0)
     n = pl.num_programs(0)
@@ -195,28 +192,12 @@ def _kernel_bins(yb, xb, rr, cc, atlas_hbm, mx, my, tr, tc, out_ref, win_out,
     for k in range(KB):
         idx = i * KB + k
         _wait_window(atlas_hbm, wins, sems, yb, xb, i % 2, idx, k)
-        if roll_mode == "mxu":
-            w = wins[i % 2, k]  # bf16 [WIN_H, WIN_W]
-            pr = (tr[:] == rr[idx]).astype(jnp.bfloat16)  # [WIN_H, WIN_H]
-            qc = (tc[:] == cc[idx]).astype(jnp.bfloat16)  # [WIN_W, WIN_W]
-            w = jax.lax.dot_general(
-                pr, w, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.bfloat16,
-            )
-            w = jax.lax.dot_general(
-                w, qc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.bfloat16,
-            )
-            w1b = w[: WIN_H - 8, :128]
-            win_out[k] = w1b
-            w1 = w1b.astype(jnp.float32)
-        else:
-            # Mosaic's dynamic rotate is 32-bit-only: cast up for the rolls.
-            w = wins[i % 2, k].astype(jnp.float32)
-            w = pltpu.roll(w, rr[idx], 0)
-            w = pltpu.roll(w, cc[idx], 1)
-            w1 = w[: WIN_H - 8, :128]
-            win_out[k] = w1.astype(jnp.bfloat16)
+        # Mosaic's dynamic rotate is 32-bit-only: cast up for the rolls.
+        w = wins[i % 2, k].astype(jnp.float32)
+        w = pltpu.roll(w, rr[idx], 0)
+        w = pltpu.roll(w, cc[idx], 1)
+        w1 = w[: WIN_H - 8, :128]
+        win_out[k] = w1.astype(jnp.bfloat16)
         m10 = jnp.sum(w1 * mx[:])
         m01 = jnp.sum(w1 * my[:])
         cols.append(_sector32(m10, m01).astype(jnp.float32))
@@ -293,7 +274,6 @@ def orb_descriptors_pallas(
     blur_sigma: float = 2.0,
     interpret: bool = False,
     x_lo: jax.Array | None = None,
-    roll_mode: str = "vpu",
 ) -> jax.Array:
     """Fused descriptors of keypoints at integer (ys, xs) on a [Ha, W] atlas.
 
@@ -342,25 +322,15 @@ def orb_descriptors_pallas(
     yb, xb = yb.astype(jnp.int32), xb.astype(jnp.int32)
     rr, cc = rr.astype(jnp.int32), cc.astype(jnp.int32)
 
-    # Static (i - j) mod n shift tables for the MXU permutation rolls.
-    tr_np = np.mod(
-        np.arange(WIN_H)[:, None] - np.arange(WIN_H)[None, :], WIN_H
-    ).astype(np.int32)
-    tc_np = np.mod(
-        np.arange(WIN_W)[None, :] - np.arange(WIN_W)[:, None], WIN_W
-    ).astype(np.int32)
-
     # ---- pass 1: orientation bins + rolled bf16 windows ----
     nblk = kp // KB
     bins_f, aligned = pl.pallas_call(
-        partial(_kernel_bins, roll_mode=roll_mode),
+        _kernel_bins,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(nblk,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
             ],
@@ -380,8 +350,7 @@ def orb_descriptors_pallas(
             jax.ShapeDtypeStruct((kp, WIN_H - 8, 128), jnp.bfloat16),
         ],
         interpret=interpret,
-    )(yb, xb, rr, cc, atlas_p, jnp.asarray(mx), jnp.asarray(my),
-      jnp.asarray(tr_np), jnp.asarray(tc_np))
+    )(yb, xb, rr, cc, atlas_p, jnp.asarray(mx), jnp.asarray(my))
     bins = bins_f[:, 0, :KB].reshape(kp).astype(jnp.int32)
 
     # ---- group keypoints by bin (each pass-2 block shares one table) ----

@@ -3,7 +3,16 @@
 // viewer/index.ts): fetch /pdf-matchings/{hash}, render every page with a
 // play button showing the matched duration, and on click set the video to
 // /files/{videoHash}, seek to offsetMs and play (MainView.tsx:53-62).
+//
+// Page rendering is progressive: when the raw PDF is reachable at
+// /files/{pdf-hash} and pdf.js loads (CDN), pages render client-side to
+// canvases at devicePixelRatio — crisp at any zoom, like the reference's
+// pdf.js viewer (viewer/index.ts:40-76). Otherwise (offline, or the deck
+// was registered from pre-extracted pages without the PDF) the viewer
+// falls back to the server-rendered PNGs.
 "use strict";
+
+const PDFJS_CDN = "https://cdnjs.cloudflare.com/ajax/libs/pdf.js/3.11.174";
 
 const params = new URLSearchParams(location.search);
 const pdfHash = params.get("pdf-hash");
@@ -35,6 +44,84 @@ function playVideo(offsetMs, videoHash) {
   videoEl.play();
 }
 
+function loadScript(src) {
+  return new Promise((resolve, reject) => {
+    const s = document.createElement("script");
+    s.src = src;
+    s.onload = resolve;
+    s.onerror = () => reject(new Error(`failed to load ${src}`));
+    document.head.appendChild(s);
+  });
+}
+
+// Try to open the raw PDF with pdf.js; null on any failure (no network,
+// PDF not on the server, parse error) — callers fall back to PNG pages.
+async function tryOpenPdf() {
+  try {
+    const head = await fetch(`${serverUrl}/files/${pdfHash}`, {
+      method: "GET",
+      headers: { Range: "bytes=0-3" },
+    });
+    if (!head.ok) return null;
+    const magic = new Uint8Array(await head.arrayBuffer());
+    if (String.fromCharCode(...magic.slice(0, 4)) !== "%PDF") return null;
+    await loadScript(`${PDFJS_CDN}/pdf.min.js`);
+    window.pdfjsLib.GlobalWorkerOptions.workerSrc = `${PDFJS_CDN}/pdf.worker.min.js`;
+    return await window.pdfjsLib.getDocument(`${serverUrl}/files/${pdfHash}`)
+      .promise;
+  } catch (e) {
+    return null;
+  }
+}
+
+// Lazy, zoom-aware canvas rendering: a page renders when it scrolls into
+// view, at its on-screen CSS size x devicePixelRatio; browser zoom changes
+// devicePixelRatio, so a re-render keeps glyph edges sharp at any zoom.
+const pageObserver = new IntersectionObserver(
+  (entries) => {
+    for (const e of entries) {
+      if (e.isIntersecting) renderPdfCanvas(e.target);
+    }
+  },
+  { rootMargin: "200px" }
+);
+let _resizeTimer;
+window.addEventListener("resize", () => {
+  clearTimeout(_resizeTimer);
+  _resizeTimer = setTimeout(() => {
+    for (const c of document.querySelectorAll("canvas.pdf-page")) {
+      c.dataset.renderedScale = "";
+      pageObserver.unobserve(c);
+      pageObserver.observe(c);
+    }
+  }, 250);
+});
+
+async function renderPdfCanvas(canvas) {
+  const doc = canvas._pdfDoc;
+  const scale = (window.devicePixelRatio || 1) * (canvas.clientWidth || 800);
+  if (!doc || canvas.dataset.rendering === "1" ||
+      canvas.dataset.renderedScale === String(scale)) {
+    return;
+  }
+  canvas.dataset.rendering = "1";
+  try {
+    const page = await doc.getPage(Number(canvas.dataset.pageNr));
+    const base = page.getViewport({ scale: 1 });
+    const cssW = canvas.clientWidth || 800;
+    const vp = page.getViewport({
+      scale: ((window.devicePixelRatio || 1) * cssW) / base.width,
+    });
+    canvas.width = vp.width;
+    canvas.height = vp.height;
+    await page.render({ canvasContext: canvas.getContext("2d"), viewport: vp })
+      .promise;
+    canvas.dataset.renderedScale = String(scale);
+  } finally {
+    canvas.dataset.rendering = "0";
+  }
+}
+
 async function init() {
   if (!pdfHash) {
     statusEl.textContent = "No ?pdf-hash= given.";
@@ -61,6 +148,7 @@ async function init() {
   }
   const pages = await pagesRes.json();
   const matchings = matchRes.ok ? await matchRes.json() : [];
+  const pdfDoc = await tryOpenPdf(); // null -> PNG fallback
 
   // First matching per page (viewer/index.ts:40-76 uses the first one).
   const byPage = new Map();
@@ -75,10 +163,19 @@ async function init() {
   for (const p of pages) {
     const div = document.createElement("div");
     div.className = "page";
-    const img = document.createElement("img");
-    img.loading = "lazy";
-    img.src = `${serverUrl}${p.url}`;
-    div.appendChild(img);
+    if (pdfDoc && p.page_idx + 1 <= pdfDoc.numPages) {
+      const canvas = document.createElement("canvas");
+      canvas.className = "pdf-page";
+      canvas.dataset.pageNr = String(p.page_idx + 1);
+      canvas._pdfDoc = pdfDoc;
+      div.appendChild(canvas);
+      pageObserver.observe(canvas);
+    } else {
+      const img = document.createElement("img");
+      img.loading = "lazy";
+      img.src = `${serverUrl}${p.url}`;
+      div.appendChild(img);
+    }
     const badge = document.createElement("div");
     badge.className = "badge";
     const ms = byPage.get(p.page_idx);

@@ -232,6 +232,58 @@ def test_checkpoint_resume(fixture_dir, small_cfg, tmp_path):
     assert any(r[1] == 2 for r in rows)
 
 
+def test_orb_engine_persistence_roundtrip(fixture_dir, small_cfg, tmp_path, monkeypatch):
+    """Cold build -> persisted v2 index (packed descriptor bits + f16
+    thumbnails, device-side unpack) -> warm engine.
+
+    Exactness contract: descriptors / validity / keypoints are BIT-equal
+    across the round-trip; thumbnails are within the f16 quantum (max abs
+    0.0625 on the 0..255 pixel scale); frame->page assignments identical.
+    The cold build here also exercises the streaming chunked page decode
+    (pipeline._iter_page_chunks)."""
+    import tempfile
+
+    import jax.numpy as jnp
+
+    from slideo_tpu.app.pipeline import MatchingEngine, PdfPage
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))  # isolate index persistence
+    tempfile.tempdir = None  # force re-read of TMPDIR
+    f = fixture_dir
+    pages = [
+        PdfPage(f["pdf_path"], f["pdf_hash"], f["pages_dir"] / f"p-{i+1}.png", i + 1)
+        for i in range(3)
+    ]
+    eng_cold = MatchingEngine(small_cfg, pages)
+    eng_warm = MatchingEngine(small_cfg, pages)  # loads the persisted index
+    assert eng_cold.slide_hw == eng_warm.slide_hw
+    di_c, di_w = eng_cold.index.desc_index, eng_warm.index.desc_index
+    assert (np.asarray(di_c.desc) == np.asarray(di_w.desc)).all()
+    assert (np.asarray(di_c.valid) == np.asarray(di_w.valid)).all()
+    assert (np.asarray(eng_cold.index.pts) == np.asarray(eng_warm.index.pts)).all()
+    np.testing.assert_allclose(
+        np.asarray(eng_warm.index.smalls),
+        np.asarray(eng_cold.index.smalls),
+        atol=0.07,  # f16 quantum at 255
+    )
+
+    page_img = cv2.imread(str(f["pages_dir"] / "p-3.png"), cv2.IMREAD_GRAYSCALE)
+    h, w = page_img.shape
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), 2.0, 0.97)
+    frame = cv2.warpAffine(page_img, m, (w, h), borderValue=40)
+    results = []
+    for eng in (eng_cold, eng_warm):
+        n = eng.device_batch
+        eng._compile_for_frames((h, w))
+        out = eng._match(
+            jnp.asarray(np.stack([frame] * n).astype(np.float32)),
+            jnp.arange(n, dtype=jnp.int32),
+        )
+        results.append(list(np.asarray(out.slide)))
+    assert results[0] == results[1] == [2] * len(results[0])
+    tempfile.tempdir = None  # restore for later tests
+
+
 def test_engine_satisfies_matching_protocols(fixture_dir, small_cfg, tmp_path):
     """The TPU engine plugs into the engine-neutral interface layer."""
     from slideo_tpu import matching as M

@@ -176,7 +176,21 @@ def test_sift_engine_pipeline_with_persistence(cfg, rng, tmp_path, monkeypatch):
 
     eng_cold = MatchingEngine(scfg, pages)
     eng_warm = MatchingEngine(scfg, pages)  # loads the persisted index
-    for a, b in zip(eng_cold.index, eng_warm.index):
+    # desc/smalls persist as float16 (halves the archive + warm upload):
+    # exact within the f16 quantum; pts/scale/valid stay bit-exact.
+    np.testing.assert_allclose(
+        np.asarray(eng_warm.index.desc), np.asarray(eng_cold.index.desc),
+        atol=5e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(eng_warm.index.smalls), np.asarray(eng_cold.index.smalls),
+        atol=0.07,
+    )
+    for a, b in [
+        (eng_cold.index.valid, eng_warm.index.valid),
+        (eng_cold.index.pts, eng_warm.index.pts),
+        (eng_cold.index.scale, eng_warm.index.scale),
+    ]:
         assert (np.asarray(a) == np.asarray(b)).all()
 
     # match a perspective frame through both engines' jit paths
@@ -196,6 +210,47 @@ def test_sift_engine_pipeline_with_persistence(cfg, rng, tmp_path, monkeypatch):
         )
         assert list(np.asarray(out.slide)) == [3] * n
     tempfile.tempdir = None  # restore for later tests
+
+
+def test_sift_screened_matches_exact(cfg, rng):
+    """Large-deck SIFT screening recall gate: the bf16 stage-1 voting sweep
+    + exact table over the survivors must reproduce the exact full-table
+    assignments (hamming.screen_slides_float; the deck is scaled down via
+    screen_above_slides so the screened route engages at test size)."""
+    import dataclasses as dc
+
+    slides = _mini_deck(rng, n=16)
+    h, w = slides.shape[1:]
+    exact_cfg = dc.replace(
+        cfg, match=dc.replace(cfg.match, screen_above_slides=999)
+    )
+    screened_cfg = dc.replace(
+        cfg,
+        match=dc.replace(
+            cfg.match, screen_above_slides=8, screen_slides=4, screen_queries=64
+        ),
+    )
+    index = sift_matcher.build_slide_index_sift_chunked(slides, cfg, chunk=8)
+
+    frames = []
+    for i, ang in [(3, -4.0), (9, 2.5), (14, 0.0)]:
+        m = cv2.getRotationMatrix2D((w / 2, h / 2), ang, 0.95)
+        fr = cv2.warpAffine(slides[i], m, (w, h)).astype(np.float32)
+        frames.append(fr + rng.randn(h, w).astype(np.float32) * 1.5)
+    frames.append((rng.rand(h, w) * 255).astype(np.float32))  # no-match
+    frames = np.stack(frames)
+    seeds = jnp.arange(len(frames), dtype=jnp.int32)
+
+    outs = {}
+    for name, c in (("exact", exact_cfg), ("screened", screened_cfg)):
+        fn = jax.jit(
+            lambda f, s, ix, c=c: sift_matcher.match_frames_sift(
+                f, s, ix, (h, w), c
+            )
+        )
+        outs[name] = np.asarray(fn(jnp.asarray(frames), seeds, index).slide)
+    assert list(outs["exact"]) == [3, 9, 14, -1], outs["exact"]
+    assert list(outs["screened"]) == list(outs["exact"])
 
 
 def test_sift_thresholds_vs_cv2_oracle(cfg, rng):

@@ -71,18 +71,21 @@ def main():
             cfg = dataclasses.replace(
                 cfg, orb=dataclasses.replace(cfg.orb, detect_batch=1)
             )
-        # Round-3 kernel variants (composable: "bf16atlas+c640+mxuroll").
+        # Kernel variants, composable ("polsplit+c512+f32atlas" = the old
+        # round-3 shipped config; bare names toggle against the defaults).
         orb_kw = {}
         if "bf16atlas" in name:
             orb_kw["atlas_bf16"] = True
         if "c640" in name:
             orb_kw["fast_chunk_w"] = 640
-        if "mxuroll" in name:
-            orb_kw["describe_roll_mode"] = "mxu"
-        if "bf16resize" in name:
-            orb_kw["resize_bf16"] = True
+        if "c512" in name:
+            orb_kw["fast_chunk_w"] = 512
         if "polfused" in name:
             orb_kw["fast_polarity_fused"] = True
+        if "polsplit" in name:
+            orb_kw["fast_polarity_fused"] = False
+        if "f32atlas" in name:
+            orb_kw["atlas_bf16"] = False
         if orb_kw:
             cfg = dataclasses.replace(
                 cfg, orb=dataclasses.replace(cfg.orb, **orb_kw)

@@ -165,10 +165,8 @@ def main():
             return kps.score.sum()
         return jax.lax.map(one, fr)
 
-    def mk_prod(roll_mode):
-        # The PRODUCTION two-pass kernel (pallas_orb.orb_descriptors_pallas)
-        # with the given pass-1 window-alignment mode: "vpu" = dynamic
-        # rotates (f32 upcast), "mxu" = permutation-matmul rolls.
+    def mk_prod():
+        # The PRODUCTION two-pass kernel (pallas_orb.orb_descriptors_pallas).
         def run(fr):
             def one(f):
                 atlas = F.build_pyramid(f, cfg.orb)
@@ -185,15 +183,14 @@ def main():
                 x_abs = kps.x + x_lo
                 x_hi = x_lo + jnp.take(jnp.asarray(widths), kps.level)
                 bits = po.orb_descriptors_pallas(
-                    atlas, y_abs, x_abs, y_lo, y_hi, x_hi,
-                    x_lo=x_lo, roll_mode=roll_mode)
+                    atlas, y_abs, x_abs, y_lo, y_hi, x_hi, x_lo=x_lo)
                 return bits.astype(jnp.int32).sum()
             return jax.lax.map(one, fr)
         return run
 
     variants = [("detect", detect_only)] + [
         (m, mk(m)) for m in ("dmaonly", "noroll", "nodesc", "full")
-    ] + [(f"prod-{m}", mk_prod(m)) for m in ("vpu", "mxu")]
+    ] + [("prod", mk_prod())]
     for name, fn in variants:
         try:
             jf = jax.jit(fn)
