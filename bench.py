@@ -149,6 +149,34 @@ def bench_pages(slides: np.ndarray, work, tag: str = "bench"):
     ]
 
 
+def _pipeline_load_breakdown():
+    from slideo_tpu.app import pipeline
+
+    return dict(pipeline.LAST_LOAD_BREAKDOWN) or None
+
+
+def _cached_inputs(args, slide_hw, frame_hw):
+    """synthesize() output cached as .npy next to the bench deck (the cv2
+    synthesis of 500 slides + 320 warped frames costs ~4 min of host time
+    on a 1-core rig — pure re-run overhead)."""
+    import tempfile
+    from pathlib import Path
+
+    n = args.batch * (args.iters + 1)
+    work = Path(tempfile.gettempdir()) / (
+        f"slideo-bench-deck-{args.slides}s-{slide_hw[0]}x{slide_hw[1]}"
+    )
+    work.mkdir(parents=True, exist_ok=True)
+    fkey = work / f"frames-{frame_hw[0]}x{frame_hw[1]}-{n}.npy"
+    skey = work / "slides.npy"
+    if fkey.exists() and skey.exists():
+        return np.load(skey), np.load(fkey)
+    slides, frames = synthesize(args.slides, slide_hw, frame_hw, n)
+    np.save(skey, slides)
+    np.save(fkey, frames)
+    return slides, frames
+
+
 def run_e2e(args, cfg):
     """Wall-clock benchmark of the REAL pipeline on a synthetic lecture:
     decode -> dedup -> match -> results, exactly as `sync` drives it."""
@@ -269,9 +297,8 @@ def main():
     frame_hw = tuple(args.frame_hw)
     # One distinct batch per timed iteration: the remote runtime caches
     # identical executions, so re-running the same arrays measures nothing.
-    slides, frames = synthesize(
-        args.slides, slide_hw, frame_hw, args.batch * (args.iters + 1)
-    )
+    # Synthesis costs minutes on a 1-core host — cache the arrays on disk.
+    slides, frames = _cached_inputs(args, slide_hw, frame_hw)
 
     # Build (or reload) the slide index through MatchingEngine so the
     # content-keyed index persistence and the jax persistent compile cache
@@ -313,10 +340,20 @@ def main():
         for i in range(args.iters + 1)
     ]
 
-    # Warmup / compile.
+    # Warmup / compile, split into trace+lower (host Python, no cache can
+    # help) vs backend compile (what jax_compilation_cache_dir may skip) vs
+    # first execution.
     t0 = time.time()
-    out = jax.block_until_ready(match(batches[0], seeds[0], index))
-    t_compile = time.time() - t0
+    lowered = match.lower(batches[0], seeds[0], index)
+    t_lower = time.time() - t0
+    t0 = time.time()
+    compiled = lowered.compile()
+    t_backend = time.time() - t0
+    t0 = time.time()
+    out = compiled(batches[0], seeds[0], index)
+    np.asarray(out.slide)
+    t_first_exec = time.time() - t0
+    t_compile = t_lower + t_backend + t_first_exec
     matched = int((np.asarray(out.slide) >= 0).sum())
 
     # Timing mirrors the production pipeline (app/pipeline.py
@@ -326,10 +363,10 @@ def main():
     # Every timed iteration runs a DISTINCT batch (the remote runtime
     # caches identical executions, which would measure nothing).
     times = []
-    inflight = match(batches[1], seeds[1], index)
+    inflight = compiled(batches[1], seeds[1], index)
     for i in range(2, args.iters + 1):
         t0 = time.time()
-        nxt = match(batches[i], seeds[i], index)
+        nxt = compiled(batches[i], seeds[i], index)
         np.asarray(inflight.slide)  # host fetch: block_until_ready does
         inflight = nxt              # not reliably wait on this runtime
         times.append(time.time() - t0)
@@ -349,10 +386,10 @@ def main():
         for i in range(args.iters + 1)
     ]
     rtimes = []
-    inflight = match(rbatches[0], seeds[0], index)
+    inflight = compiled(rbatches[0], seeds[0], index)
     for i in range(1, args.iters + 1):
         t0 = time.time()
-        nxt = match(rbatches[i], seeds[i], index)
+        nxt = compiled(rbatches[i], seeds[i], index)
         np.asarray(inflight.slide)
         inflight = nxt
         rtimes.append(time.time() - t0)
@@ -375,6 +412,10 @@ def main():
                 "index_build_s": round(t_index, 2),
                 "index_source": "warm" if index_warm else "cold",
                 "first_call_s": round(t_compile, 2),
+                "trace_lower_s": round(t_lower, 2),
+                "backend_compile_s": round(t_backend, 2),
+                "first_exec_s": round(t_first_exec, 2),
+                "index_load": _pipeline_load_breakdown(),
                 "times_s": [round(t, 4) for t in times],
                 "fps_realistic_content": round(fps_realistic, 2),
                 "matched_in_batch": matched,

@@ -298,6 +298,11 @@ def _load_sift_index(key: str):
         return None
 
 
+# Wall-clock breakdown of the most recent _load_orb_index/_load_sift_index
+# call (bench diagnostics): {"read_s", "upload_assemble_s"}.
+LAST_LOAD_BREAKDOWN: dict[str, float] = {}
+
+
 def _load_orb_index(key: str):
     """Load a persisted SlideIndex; returns (SlideIndex, slide_hw) or None.
 
@@ -307,6 +312,8 @@ def _load_orb_index(key: str):
     device program (hamming.unpack_descriptor_bits). The previous host-side
     unpackbits shipped 262 MB of raw int8 descriptors + 240 MB f32
     thumbnails — tunnel/PCIe upload dominated warm start."""
+    import time as _time
+
     from ..models import orb_matcher
     from ..ops import hamming
 
@@ -314,28 +321,39 @@ def _load_orb_index(key: str):
     if not path.exists():
         return None
     try:
+        t0 = _time.time()
         with np.load(path) as z:
             k = int(z["k_per_slide"][0])
-
-            def assemble(desc_bits, valid_bits, smalls_f16):
-                desc, valid = hamming.unpack_descriptor_bits(
-                    desc_bits, valid_bits, k
-                )
-                return (
-                    hamming.build_index(desc, valid),
-                    smalls_f16.astype(jnp.float32),
-                )
-
-            index, smalls = jax.jit(assemble)(
-                jnp.asarray(z["desc_bits"]),
-                jnp.asarray(z["valid"]),
-                jnp.asarray(z["smalls_f16"]),
-            )
-            result = orb_matcher.SlideIndex(
-                desc_index=index, pts=jnp.asarray(z["pts"]), smalls=smalls
-            )
+            desc_bits = np.ascontiguousarray(z["desc_bits"])
+            valid_bits = np.ascontiguousarray(z["valid"])
+            smalls_f16 = np.ascontiguousarray(z["smalls_f16"])
+            pts = np.ascontiguousarray(z["pts"])
             slide_hw = tuple(int(v) for v in z["slide_hw"])
-            return jax.block_until_ready(result), slide_hw
+        t_read = _time.time() - t0
+
+        def assemble(desc_bits, valid_bits, smalls_f16):
+            desc, valid = hamming.unpack_descriptor_bits(
+                desc_bits, valid_bits, k
+            )
+            return (
+                hamming.build_index(desc, valid),
+                smalls_f16.astype(jnp.float32),
+            )
+
+        t0 = _time.time()
+        index, smalls = jax.jit(assemble)(
+            jnp.asarray(desc_bits), jnp.asarray(valid_bits),
+            jnp.asarray(smalls_f16),
+        )
+        result = orb_matcher.SlideIndex(
+            desc_index=index, pts=jnp.asarray(pts), smalls=smalls
+        )
+        result = jax.block_until_ready(result)
+        LAST_LOAD_BREAKDOWN.update(
+            read_s=round(t_read, 2),
+            upload_assemble_s=round(_time.time() - t0, 2),
+        )
+        return result, slide_hw
     except Exception:
         return None
 
