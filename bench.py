@@ -109,11 +109,18 @@ def make_video(path, slides, minutes: float, fps: float = 30.0, seed: int = 1):
     )
     total = int(minutes * 60 * fps)
     seg_len = int(20 * fps)
+    # Noise bank: fresh 1080p gaussian noise per frame costs ~50 ms/frame of
+    # host time (hours for a 1-h video on a 1-core rig); cycling 16 offset
+    # slices of one precomputed plane keeps frames visually distinct to the
+    # encoder at ~zero cost.
+    bank = (rng.randn(h + 16, w + 16) * 1.5).astype(np.float32)
+    noise_u8 = rng.randint(0, 255, (h + 16, w + 16), np.uint8)
     t = 0
     while t < total:
         if rng.rand() < 0.1:
             for _ in range(min(seg_len // 2, total - t)):
-                vw.write(rng.randint(0, 255, (h, w), np.uint8))
+                o = t % 16
+                vw.write(noise_u8[o : o + h, o : o + w])
                 t += 1
             continue
         s = rng.randint(slides.shape[0])
@@ -121,10 +128,13 @@ def make_video(path, slides, minutes: float, fps: float = 30.0, seed: int = 1):
             (w / 2, h / 2), rng.uniform(-2, 2), rng.uniform(0.92, 1.0)
         )
         m[:, 2] += [rng.uniform(-15, 15), rng.uniform(-10, 10)]
-        base = cv2.warpAffine(slides[s], m, (w, h), borderValue=40)
+        base = cv2.warpAffine(slides[s], m, (w, h), borderValue=40).astype(
+            np.float32
+        )
         for _ in range(min(seg_len, total - t)):
-            noise = rng.randn(h, w) * 1.5
-            vw.write(np.clip(base.astype(np.float32) + noise, 0, 255).astype(np.uint8))
+            o = t % 16
+            frame = base + bank[o : o + h, o : o + w]
+            vw.write(np.clip(frame, 0, 255).astype(np.uint8))
             t += 1
     vw.release()
 

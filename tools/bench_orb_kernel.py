@@ -65,7 +65,18 @@ def _kernel_var(yb, xb, rr, cc, atlas_hbm, a_tab, d_tab, mx, my, out_ref,
                              if False else
                              jnp.full((512, 1), jnp.sum(w), jnp.float32))
             continue
-        if mode != "noroll":
+        if mode == "packroll":
+            # Lane roll on the sublane-packed i32 view (2x fewer vregs, no
+            # f32 upcast), slice to the 128 needed lanes, THEN the row roll
+            # on [80, 128] f32 (half the lanes of the baseline's [80, 256]).
+            # Needed output never wraps: lane roll reads lanes
+            # offset..offset+127 <= 254; row roll reads rows t..71+t <= 78.
+            wq = pltpu.bitcast(wins[i % 2, k], jnp.int32)   # [40, 256]
+            wq = pltpu.roll(wq, cc[idx], 1)
+            w = pltpu.bitcast(wq, jnp.bfloat16)             # [80, 256]
+            w = w[:, :128].astype(jnp.float32)              # [80, 128]
+            w = pltpu.roll(w, rr[idx], 0)
+        elif mode != "noroll":
             w = pltpu.roll(w, rr[idx], 0)
             w = pltpu.roll(w, cc[idx], 1)
         w1 = w[: WIN_H - 8, :128]
@@ -189,7 +200,7 @@ def main():
         return run
 
     variants = [("detect", detect_only)] + [
-        (m, mk(m)) for m in ("dmaonly", "noroll", "nodesc", "full")
+        (m, mk(m)) for m in ("dmaonly", "noroll", "nodesc", "full", "packroll")
     ] + [("prod", mk_prod())]
     for name, fn in variants:
         try:
