@@ -167,6 +167,12 @@ def _pipeline_load_breakdown():
     return dict(pipeline.LAST_LOAD_BREAKDOWN) or None
 
 
+def _pipeline_build_breakdown():
+    from slideo_tpu.app import pipeline
+
+    return dict(pipeline.LAST_BUILD_BREAKDOWN) or None
+
+
 def _cached_inputs(args, slide_hw, frame_hw):
     """synthesize() output cached as .npy next to the bench deck (the cv2
     synthesis of 500 slides + 320 warped frames costs ~4 min of host time
@@ -428,6 +434,7 @@ def main():
                 "backend_compile_s": round(t_backend, 2),
                 "first_exec_s": round(t_first_exec, 2),
                 "index_load": _pipeline_load_breakdown(),
+                "index_build": _pipeline_build_breakdown(),
                 "times_s": [round(t, 4) for t in times],
                 "fps_realistic_content": round(fps_realistic, 2),
                 # Formal re-scope (NOTES.md "Per-chip ceiling"): exact-parity

@@ -302,6 +302,12 @@ def _load_sift_index(key: str):
 # call (bench diagnostics): {"read_s", "upload_assemble_s"}.
 LAST_LOAD_BREAKDOWN: dict[str, float] = {}
 
+# Wall-clock breakdown of the most recent COLD MatchingEngine index build
+# (bench diagnostics): {"hash_key_s", "letterbox_s", "extract_s", "save_s"}.
+# extract_s covers the streamed decode+upload+device-extraction loop (decode
+# overlaps the device program, so it is one phase by construction).
+LAST_BUILD_BREAKDOWN: dict[str, float] = {}
+
 
 def _load_orb_index(key: str):
     """Load a persisted SlideIndex; returns (SlideIndex, slide_hw) or None.
@@ -380,7 +386,11 @@ class MatchingEngine:
         self._dedup = None
         self._frame_hw: tuple[int, int] | None = None
 
+        import time as _time
+
+        t0 = _time.time()
         key = _index_cache_key(pages, cfg)
+        t_key = _time.time() - t0
         load, save = (
             (_load_orb_index, _save_orb_index)
             if cfg.engine == "orb"
@@ -390,6 +400,7 @@ class MatchingEngine:
         if cached is not None:
             self.index, self.slide_hw = cached
             return
+        t0 = _time.time()
         if cfg.engine == "orb":
             # Streaming cold build: page PNGs decode in a worker thread one
             # chunk ahead of the device program, so host decode (the
@@ -397,20 +408,32 @@ class MatchingEngine:
             # upload + on-device feature extraction instead of preceding it.
             paths = _page_paths(pages)
             self.slide_hw = _letterbox_hw(paths)
+            t_box = _time.time() - t0
             chunk = max(1, min(self._BUILD_CHUNK, len(paths)))
+            t0 = _time.time()
             self.index = orb_matcher.build_slide_index_from_chunks(
                 _iter_page_chunks(paths, self.slide_hw, chunk),
                 len(paths), cfg, chunk,
             )
         else:
             grays, self.slide_hw = _load_page_grays(pages)
+            t_box = _time.time() - t0
+            t0 = _time.time()
             self.index = sift_matcher.build_slide_index_sift_chunked(
                 grays, cfg, chunk=self._BUILD_CHUNK
             )
+        t_extract = _time.time() - t0
+        t0 = _time.time()
         try:
             save(key, self.index, self.slide_hw)
         except OSError:
             pass  # persistence is best-effort; the in-memory index stands
+        LAST_BUILD_BREAKDOWN.update(
+            hash_key_s=round(t_key, 2),
+            letterbox_s=round(t_box, 2),
+            extract_s=round(t_extract, 2),
+            save_s=round(_time.time() - t0, 2),
+        )
 
     def _mesh(self):
         """Frame-data-parallel device mesh, when the runtime has >1 device.
@@ -424,7 +447,9 @@ class MatchingEngine:
 
         if os.environ.get("SLIDEO_MESH", "auto") == "off":
             return None
-        if jax.device_count() <= 1:
+        # Local, not global: in a multi-process run this host only shards
+        # its own frame batches over its own devices (see mesh.make_mesh).
+        if len(jax.local_devices()) <= 1:
             return None
         from ..parallel import mesh as mesh_mod
 

@@ -129,7 +129,15 @@ def gather_host_matchings(
 
 
 def make_mesh(devices=None, axis: str = "frames") -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    """Frame-DP mesh. In a multi-process run each host drives its OWN frame
+    shard through host-local loops (different batch counts per host), so the
+    mesh must span only this host's devices — a global-device mesh would
+    require every host to issue identical collectives. Cross-host exchange
+    happens once, at the end, via gather_host_matchings."""
+    if devices is None:
+        devices = (
+            jax.local_devices() if jax.process_count() > 1 else jax.devices()
+        )
     return Mesh(np.asarray(devices), (axis,))
 
 

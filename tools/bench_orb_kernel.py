@@ -99,7 +99,113 @@ def _kernel_var(yb, xb, rr, cc, atlas_hbm, a_tab, d_tab, mx, my, out_ref,
     out_ref[:] = jnp.where(vt[:, n_bits:] > vt[:, :n_bits], 1.0, -1.0)
 
 
+def _kernel_dual(yb, xb, sel, rr, cc, atlas_hbm, a_tab, d_tab, mx, my,
+                 out_ref, wins, sems, *, mode):
+    """Dual-shifted-atlas pass: atlas_hbm is [2, Ha, W2] (copy 1 = copy 0
+    shifted left 64 lanes), so the per-keypoint window is [WIN_H, 128]
+    instead of [WIN_H, 256] — the lane-alignment residual drops to <=63,
+    halving both the DMA bytes and the roll/cast vector work."""
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    KB, WIN_H = po.KB, po.WIN_H
+
+    def start(slot, blk):
+        for k in range(KB):
+            idx = blk * KB + k
+            pltpu.make_async_copy(
+                atlas_hbm.at[sel[idx], pl.ds(yb[idx] * 8, WIN_H),
+                             pl.ds(xb[idx] * 128, 128)],
+                wins.at[slot, k], sems.at[slot, k]).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start((i + 1) % 2, i + 1)
+
+    vals_cols = []
+    for k in range(KB):
+        idx = i * KB + k
+        pltpu.make_async_copy(
+            atlas_hbm.at[sel[idx], pl.ds(yb[idx] * 8, WIN_H),
+                         pl.ds(xb[idx] * 128, 128)],
+            wins.at[i % 2, k], sems.at[i % 2, k]).wait()
+        if mode == "dualpack":
+            # Lane roll on the sublane-packed i32 view (2x fewer vregs, no
+            # f32 upcast). Patch never wraps: lanes 0..62 <- o..o+125.
+            wq = pltpu.bitcast(wins[i % 2, k], jnp.int32)   # [40, 128]
+            wq = pltpu.roll(wq, cc[idx], 1)
+            w = pltpu.bitcast(wq, jnp.bfloat16).astype(jnp.float32)
+            w = pltpu.roll(w, rr[idx], 0)
+        else:
+            w = wins[i % 2, k].astype(jnp.float32)          # [80, 128]
+            w = pltpu.roll(w, cc[idx], 1)
+            w = pltpu.roll(w, rr[idx], 0)
+        w1 = w[: WIN_H - 8, :128]
+        m10 = jnp.sum(w1 * mx[:])
+        m01 = jnp.sum(w1 * my[:])
+        bin_ = po._sector32(m10, m01)
+        a = a_tab[bin_]
+        d = d_tab[bin_]
+        g = jax.lax.dot_general(
+            a, w1.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        vals_cols.append(jnp.sum(g * d.astype(jnp.float32), axis=1,
+                                 keepdims=True))
+    vals = jnp.concatenate(vals_cols, axis=1)
+    vt = vals.T
+    n_bits = vt.shape[1] // 2
+    out_ref[:] = jnp.where(vt[:, n_bits:] > vt[:, :n_bits], 1.0, -1.0)
+
+
+def descriptors_dual(atlas, ys, xs, y_lo, y_hi, x_hi, mode):
+    from slideo_tpu.ops.orb import HALF_PATCH, PATCH
+    KB, WIN_H = po.KB, po.WIN_H
+    ha, w_atlas = atlas.shape
+    k = ys.shape[0]
+    x_lo = jnp.zeros_like(xs)
+    y0 = jnp.clip(ys - HALF_PATCH, y_lo, jnp.maximum(y_hi - PATCH, y_lo))
+    x0 = jnp.clip(xs - HALF_PATCH, x_lo, jnp.maximum(x_hi - PATCH, x_lo))
+    yb = jnp.maximum(y0 - po._ROW0, 0) // 8
+    r0 = y0 - yb * 8
+    rr = (po._ROW0 - r0) % WIN_H
+    sel = (x0 // 64) % 2
+    xb = x0 // 128
+    cc = (128 - (x0 % 64)) % 128
+    ha_pad = -(-(ha + WIN_H) // 8) * 8
+    max_xb = max((w_atlas - PATCH) // 128, 0)
+    w2 = max_xb * 128 + 128
+    big = jnp.pad(atlas.astype(jnp.bfloat16),
+                  ((0, ha_pad - ha), (0, max(0, w2 + 64 - w_atlas))))
+    atlas2 = jnp.stack([big[:, :w2], big[:, 64:64 + w2]])
+    a_np, d_np = po._bin_tables(256, 0x51DE0, 7, 2.0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(k // KB,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] +
+                 [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=pl.BlockSpec((KB, 256), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, KB, WIN_H, 128), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, KB)),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_kernel_dual, mode=mode),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k, 256), jnp.float32),
+    )(yb.astype(jnp.int32), xb.astype(jnp.int32), sel.astype(jnp.int32),
+      rr.astype(jnp.int32), cc.astype(jnp.int32), atlas2,
+      jnp.asarray(a_np, jnp.bfloat16), jnp.asarray(d_np, jnp.bfloat16),
+      jnp.asarray(po._moment_masks()[0]), jnp.asarray(po._moment_masks()[1]))
+
+
 def descriptors_var(atlas, ys, xs, y_lo, y_hi, x_hi, mode):
+    if mode in ("dual", "dualpack"):
+        return descriptors_dual(atlas, ys, xs, y_lo, y_hi, x_hi, mode)
     from slideo_tpu.ops.orb import HALF_PATCH, PATCH
     KB, WIN_H, WIN_W = po.KB, po.WIN_H, po.WIN_W
     ha, w_atlas = atlas.shape
@@ -141,6 +247,11 @@ def descriptors_var(atlas, ys, xs, y_lo, y_hi, x_hi, mode):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=None,
+                    help="comma-separated subset to run (default: all)")
+    cli = ap.parse_args()
     enable_compilation_cache()
     cfg = DEFAULT_CONFIG
     hw = (1080, 1920)
@@ -200,8 +311,12 @@ def main():
         return run
 
     variants = [("detect", detect_only)] + [
-        (m, mk(m)) for m in ("dmaonly", "noroll", "nodesc", "full", "packroll")
+        (m, mk(m)) for m in ("dmaonly", "noroll", "nodesc", "full", "packroll",
+                             "dual", "dualpack")
     ] + [("prod", mk_prod())]
+    if cli.variants:
+        want = set(cli.variants.split(","))
+        variants = [(n, f) for n, f in variants if n in want]
     for name, fn in variants:
         try:
             jf = jax.jit(fn)
