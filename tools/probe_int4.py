@@ -4,6 +4,10 @@ v5e runs int4 matmuls at 2x the int8 rate; the screening sweep's +-1
 descriptors fit int4 exactly. This probe checks (a) compilation, (b)
 exactness vs an int32 reference, (c) rate vs the same shape in int8.
 
+The shape mimics one screening grid step per iteration: [256, 192] queries
+x [192, 2048] slide block, looped over a grid so the timing is MXU-bound
+rather than dominated by this rig's ~45 ms dispatch floor.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python3 tools/probe_int4.py
 """
 
@@ -23,58 +27,83 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from slideo_tpu.utils.compile_cache import enable_compilation_cache
 
-def _kernel(q_ref, d_ref, out_ref, *, dtype):
-    out_ref[:] = jax.lax.dot_general(
+M, K, N = 256, 192, 2048
+STEPS = 512  # grid steps per call: 512 * 256x192x2048 = 51.5 GMAC
+
+
+def _kernel(q_ref, d_ref, out_ref, acc, *, dtype):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    acc[:] += jax.lax.dot_general(
         q_ref[:].astype(dtype), d_ref[:].astype(dtype),
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
 
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[:] = acc[:]
 
-def run(dtype, q, d):
-    m, k = q.shape
-    _, n = d.shape
+
+def make(dtype, store_dtype):
     f = pl.pallas_call(
         partial(_kernel, dtype=dtype),
-        grid=(1,),
+        grid=(STEPS,),
         in_specs=[
-            pl.BlockSpec((m, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, K), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, N), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, n), lambda i: (0, 0),
+        out_specs=pl.BlockSpec((M, N), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((M, N), jnp.int32)],
     )
-    return jax.jit(lambda a, b: f(a, b))(q, d)
+    return jax.jit(lambda a, b: f(a.astype(store_dtype), b.astype(store_dtype)))
 
 
 def main():
+    enable_compilation_cache()
     rng = np.random.RandomState(0)
-    m, k, n = 256, 192, 2048
-    qs = [rng.choice([-1, 1], size=(m, k)).astype(np.int8) for _ in range(4)]
-    ds = [rng.choice([-1, 1], size=(k, n)).astype(np.int8) for _ in range(4)]
-    want = np.asarray(qs[0], np.int32) @ np.asarray(ds[0], np.int32)
+    qs = [
+        jnp.asarray(rng.choice([-1, 1], size=(STEPS, M, K)).astype(np.int8))
+        for _ in range(3)
+    ]
+    ds = [
+        jnp.asarray(rng.choice([-1, 1], size=(STEPS, K, N)).astype(np.int8))
+        for _ in range(3)
+    ]
+    want = sum(
+        np.asarray(qs[0][i], np.int32) @ np.asarray(ds[0][i], np.int32)
+        for i in range(STEPS)
+    )
 
     for dt, name in ((jnp.int8, "int8"), (jnp.int4, "int4")):
         try:
-            outs = []
+            jf = make(dt, dt)
             t0 = time.time()
-            got = np.asarray(run(dt, jnp.asarray(qs[0], dt),
-                                 jnp.asarray(ds[0], dt)))
+            got = np.asarray(jf(qs[0], ds[0]))
             comp = time.time() - t0
             exact = np.array_equal(got, want)
-            # rate: loop grid over a bigger problem
             ts = []
-            for i in range(1, 4):
+            for i in (1, 2, 1, 2):
                 t0 = time.time()
-                np.asarray(run(dt, jnp.asarray(qs[i], dt),
-                               jnp.asarray(ds[i], dt)))
+                np.asarray(jf(qs[i], ds[i]))
                 ts.append(time.time() - t0)
-            print(f"{name}: exact={exact} compile {comp:.1f}s "
-                  f"call {min(ts)*1000:.1f} ms", flush=True)
+            best = min(ts)
+            gmacs = STEPS * M * K * N / 1e9
+            print(f"{name}: exact={exact} first_call {comp:.1f}s "
+                  f"steady {best*1000:.1f} ms = {gmacs/best:.0f} GMAC/s",
+                  flush=True)
         except Exception as e:
-            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:300]}",
                   flush=True)
 
 
