@@ -62,7 +62,7 @@ def synthesize_realistic_frames(slides, frame_hw, batch: int, seed: int = 3):
     keypoints; reference BACKGROUND.md:11) rather than the quota-saturating
     worst case `synthesize` produces. Calibrated against detect_pyramid's
     total valid-keypoint count: a mostly-empty page with a title and 1-2
-    washed-out bullet lines, camera/projector-blurred (Gaussian sigma 1.2) —
+    washed-out bullet lines, camera/projector-blurred (Gaussian sigma 1.65) —
     crisper or denser synthetic text regenerates corners at every pyramid
     level and overshoots the regime (1100-1550 total). Warped like the
     worst-case frames, so these exercise the same match program but take

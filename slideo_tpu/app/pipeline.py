@@ -18,6 +18,7 @@ matching engine:
 
 from __future__ import annotations
 
+import os
 import random
 import string
 from dataclasses import dataclass
@@ -237,7 +238,10 @@ def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
     s, k, _ = index.pts.shape
     desc = np.asarray(di.desc).reshape(s, k, -1)
     packed = np.packbits((desc > 0).astype(np.uint8), axis=-1)
-    tmp = target / "index.npz.tmp"
+    # Per-process tmp name: concurrent cold builds of the same key (real
+    # multi-process runs) must not interleave writes into one inode before
+    # the atomic replace.
+    tmp = target / f"index.npz.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez(
             f,
@@ -259,7 +263,7 @@ def _save_sift_index(key: str, index, slide_hw: tuple[int, int]) -> None:
     (~250 MB for a 500-slide deck). Crash-safe: write + atomic rename."""
     target = get_temp_path_key("index", key)
     target.mkdir(parents=True, exist_ok=True)
-    tmp = target / "index.npz.tmp"
+    tmp = target / f"index.npz.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         np.savez(
             f,
@@ -380,6 +384,10 @@ class MatchingEngine:
         from ..utils.compile_cache import enable_compilation_cache
 
         enable_compilation_cache()
+        # Each engine's diagnostics reflect only its own construction: a warm
+        # engine built after a cold one must not report the stale breakdown.
+        LAST_BUILD_BREAKDOWN.clear()
+        LAST_LOAD_BREAKDOWN.clear()
         self.cfg = cfg
         self.pages = pages
         self._match = None

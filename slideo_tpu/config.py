@@ -41,15 +41,11 @@ class OrbConfig:
     # [Q, S] match table run at the frame's true size. Exact: a bucket always
     # covers every valid keypoint. max_keypoints is always the last bucket.
     query_buckets: tuple[int, ...] = (768,)
-    detect_batch: int = 1           # frames whose pyramid+FAST run in one
-                                    # batched launch inside match_frames
-                                    # (identical results). 1 = per-frame
-                                    # lax.map, which MEASURED FASTER on v5e
-                                    # at batch 64 (142 vs 133 fps — the
-                                    # (B, bands) grid serializes the per-
-                                    # band DMA pipeline across frames while
-                                    # lax.map lets XLA overlap the per-frame
-                                    # launches; tools/bench_config_ab.py).
+    # (r5: detect_batch knob deleted — batched pyramid+FAST launches measured
+    # SLOWER on v5e at batch 64, 133 vs 142 fps: the (B, bands) grid
+    # serializes the per-band DMA pipeline across frames while per-frame
+    # lax.map lets XLA overlap launches. score_map_batch survives as a
+    # library op for profiling tools; production always maps per frame.)
     fast_polarity_fused: bool = True  # interleave the FAST kernel's
                                     # bright/dark van Herk chains (one read
                                     # of each diff plane per chain step;
@@ -157,11 +153,12 @@ class MatchConfig:
                                     # voting matches exact assignments 96/96
                                     # at 500 slides x 96 frames at every
                                     # tested setting incl. this one)
-    screen_mode: str = "prefix"     # "prefix" (full-K recall) | "sketch" (cheap)
-    screen_bits: int = 128          # descriptor prefix bits ("prefix" mode;
-                                    # 128 keeps stage 1 on the fused Pallas
-                                    # kernel — lane-aligned — and buys recall)
-    screen_sketch_k: int = 128      # sketch descriptors per slide ("sketch" mode)
+    # (r5: screen_mode="sketch" deleted — measured recall loss at 500 slides
+    # with no covering gate; prefix full-K voting is the one screening mode.)
+    screen_bits: int = 128          # descriptor prefix bits for stage-1
+                                    # voting (128 keeps stage 1 on the fused
+                                    # Pallas kernel — lane-aligned — and
+                                    # buys recall)
     screen_queries: int = 256       # strongest frame keypoints used for screening
     screen_k_per_slide: int = 2048  # index slots per slide used by stage-1
                                     # voting ("prefix" mode). FULL K: slots

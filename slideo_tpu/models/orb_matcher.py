@@ -417,55 +417,24 @@ def match_frames(
 
     Screened decks (> MatchConfig.screen_above_slides) with a prebuilt
     screening tensor take the batched stage-1 path
-    (_match_frames_screened_batch). Otherwise: the pyramid build + FAST
-    sweep run batched over ``detect_batch``-frame sub-chunks (one kernel
-    launch per chunk; bit-identical per frame), then describe/match/cascade
-    run per frame inside lax.map — full-batch fusion of those stages
-    measured SLOWER (cascade transients scale with B, round-2 NOTES).
+    (_match_frames_screened_batch). Otherwise frames run through match_frame
+    inside lax.map — full-batch fusion of detect/describe/cascade measured
+    SLOWER on v5e (the (B, bands) grid serializes per-band DMA across
+    frames and cascade transients scale with B; round-2/r4 NOTES).
     """
-    b = frames.shape[0]
     n_slides = index.pts.shape[0]
     if (
         n_slides > cfg.match.screen_above_slides
-        and cfg.match.screen_mode == "prefix"
         and cfg.match.screen_bits == hamming.SCREEN_BITS
         and index.desc_index.screen_desc is not None
     ):
         return _match_frames_screened_batch(
             frames, frame_seeds, index, slide_hw, cfg
         )
-    c = min(cfg.orb.detect_batch, b)
-    if c <= 1 or b % c != 0:
-        return jax.lax.map(
-            lambda args: match_frame(args[0], args[1], index, slide_hw, cfg),
-            (frames, frame_seeds),
-        )
-    h, w = frames.shape[1], frames.shape[2]
-    meta = features_ops.pyramid_meta(h, w, cfg.orb)
-
-    def chunk_fn(args):
-        fr, seeds = args  # [C, H, W], [C]
-        atl = jax.lax.map(lambda im: features_ops.build_pyramid(im, cfg.orb), fr)
-        scores = fast_ops.score_map_batch(
-            atl, cfg.orb.fast_threshold, cfg.orb.fast_chunk_w,
-            cfg.orb.fast_polarity_fused,
-        )
-        kps = jax.lax.map(
-            lambda s: features_ops.detect_from_scores(s, meta, cfg.orb), scores
-        )
-        return jax.lax.map(
-            lambda a: _match_detected(
-                a[0], meta, features_ops.Keypoints(*a[1]), a[2], index,
-                slide_hw, cfg,
-            ),
-            (atl, tuple(kps), seeds),
-        )
-
-    out = jax.lax.map(
-        chunk_fn,
-        (frames.reshape(b // c, c, h, w), frame_seeds.reshape(b // c, c)),
+    return jax.lax.map(
+        lambda args: match_frame(args[0], args[1], index, slide_hw, cfg),
+        (frames, frame_seeds),
     )
-    return FrameMatch(*(f.reshape(b) for f in out))
 
 
 def jit_match_frames(slide_hw: tuple[int, int], cfg: SlideoConfig):

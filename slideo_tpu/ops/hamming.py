@@ -635,56 +635,36 @@ def _screen_slides(
     reference (approximate candidate generation, flann.rs:14-26); the final
     ranking still uses full descriptors over the surviving slides.
 
-    Two modes (cfg.screen_mode):
-    - "prefix" (default): cfg.screen_bits-bit descriptor prefixes over EVERY
-      index row. Full-K coverage is what carries recall — the frame's strong
-      corners always have their counterpart in the index; measured recall at
-      500 text-like slides is 8/8 with rank-0 votes.
-    - "sketch": full 256-bit descriptors over each slide's first
-      cfg.screen_sketch_k slots (its strongest level-0 keypoints). ~16x
-      cheaper but measured recall losses at 500 slides (the sketch misses
-      the warped frame's corners ~40% of the time) — kept for decks beyond
-      prefix reach, not the default.
+    One mode: cfg.screen_bits-bit descriptor prefixes over EVERY index row.
+    Full-K coverage is what carries recall — the frame's strong corners
+    always have their counterpart in the index; measured recall at 500
+    text-like slides is 8/8 with rank-0 votes. (A cheaper "sketch" mode —
+    full descriptors over each slide's first 128 slots — was measured to
+    lose recall at 500 slides and deleted in r5.)
     """
     _, top_q = jax.lax.top_k(query_score, cfg.screen_queries)
     q_sub = jnp.take(query, top_q, axis=0)
     k_per_slide = index.desc.shape[0] // n_slides
-    if cfg.screen_mode == "sketch":
-        ksk = min(cfg.screen_sketch_k, k_per_slide)
-        d_dim = index.desc.shape[1]
-        sketch_desc = index.desc.reshape(n_slides, k_per_slide, d_dim)[:, :ksk]
-        sketch_valid = index.valid.reshape(n_slides, k_per_slide)[:, :ksk]
-        sub = DescriptorIndex(
-            desc=sketch_desc.reshape(n_slides * ksk, d_dim),
-            slide_ids=jnp.repeat(jnp.arange(n_slides, dtype=jnp.int32), ksk),
-            train_ids=jnp.tile(jnp.arange(ksk, dtype=jnp.int32), n_slides),
-            valid=sketch_valid.reshape(n_slides * ksk),
-        )
-        table = match_table(
-            q_sub, sub, n_slides, ksk, chunk_slides=64, with_train=False
-        )
-    else:
-        q_sub = q_sub[:, : cfg.screen_bits]
-        ksk = min(cfg.screen_k_per_slide, k_per_slide)
-        d_dim = index.desc.shape[1]
-        desc3 = index.desc.reshape(n_slides, k_per_slide, d_dim)
-        valid2 = index.valid.reshape(n_slides, k_per_slide)
-        prefix_index = DescriptorIndex(
-            desc=desc3[:, :ksk, : cfg.screen_bits].reshape(
-                n_slides * ksk, cfg.screen_bits
-            ),
-            slide_ids=jnp.repeat(jnp.arange(n_slides, dtype=jnp.int32), ksk),
-            train_ids=jnp.tile(jnp.arange(ksk, dtype=jnp.int32), n_slides),
-            valid=valid2[:, :ksk].reshape(n_slides * ksk),
-            desc_t=(
-                index.desc_t[:, : cfg.screen_bits, :ksk]
-                if index.desc_t is not None else None
-            ),
-        )
-        table = match_table(
-            q_sub, prefix_index, n_slides, ksk, chunk_slides=16,
-            with_train=False,
-        )
+    q_sub = q_sub[:, : cfg.screen_bits]
+    ksk = min(cfg.screen_k_per_slide, k_per_slide)
+    desc3 = index.desc.reshape(n_slides, k_per_slide, index.desc.shape[1])
+    valid2 = index.valid.reshape(n_slides, k_per_slide)
+    prefix_index = DescriptorIndex(
+        desc=desc3[:, :ksk, : cfg.screen_bits].reshape(
+            n_slides * ksk, cfg.screen_bits
+        ),
+        slide_ids=jnp.repeat(jnp.arange(n_slides, dtype=jnp.int32), ksk),
+        train_ids=jnp.tile(jnp.arange(ksk, dtype=jnp.int32), n_slides),
+        valid=valid2[:, :ksk].reshape(n_slides * ksk),
+        desc_t=(
+            index.desc_t[:, : cfg.screen_bits, :ksk]
+            if index.desc_t is not None else None
+        ),
+    )
+    table = match_table(
+        q_sub, prefix_index, n_slides, ksk, chunk_slides=16,
+        with_train=False,
+    )
     best = jnp.min(jnp.where(table.valid, table.dist, jnp.inf), axis=1, keepdims=True)
     keep = table.valid & (table.dist <= best * 1.05 + 1.0)
     votes = jnp.sum(keep, axis=0).astype(jnp.float32)

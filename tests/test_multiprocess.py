@@ -27,8 +27,6 @@ import subprocess
 import sys
 from pathlib import Path
 
-import pytest
-
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -132,8 +130,9 @@ def _worker_main(pid: int, port: int, root: Path) -> None:
     )))
 
 
-@pytest.mark.slow
 def test_two_process_gather_and_db_gate(tmp_path):
+    # Not slow-marked: ~29 s measured — the real jax.distributed branch and
+    # the process-0 DB gate must gate every CI run (VERDICT r4 #4).
     meta = _make_media(tmp_path)
     with socket.socket() as s:
         s.bind(("localhost", 0))

@@ -67,10 +67,6 @@ def main():
             cfg = dataclasses.replace(
                 cfg, match=dataclasses.replace(cfg.match, cascade_viable_prefix=0)
             )
-        if name in ("nofront", "neither"):
-            cfg = dataclasses.replace(
-                cfg, orb=dataclasses.replace(cfg.orb, detect_batch=1)
-            )
         # Kernel variants, composable ("polsplit+c512+f32atlas" = the old
         # round-3 shipped config; bare names toggle against the defaults).
         orb_kw = {}

@@ -712,3 +712,171 @@ def main4():
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "pol":
     main4()
+
+
+# ---- Round-5 variants: strip-mined van Herk chains ----
+#
+# Hypothesis: the fused chain's ~34 live (band+2, chunk+2) planes stream
+# through VMEM (live set >> VRF), so most chain ops pay load/load/op/store.
+# The chain is ELEMENTWISE across the 16 tap planes (the 9-windows live in
+# the circle-index dimension, not space), so the row loop can be strip-mined
+# with only the 2-row NMS ring + 6-row tap halo recomputed per strip. If
+# Mosaic keeps strip-sized planes in vregs, chain ops become pure ALU.
+# Strip sizes are chosen so (strip + 2) hits the dtype's sublane tile
+# (bf16: 16/32 rows; f32: 8/16 rows) — otherwise tile padding wastes lanes.
+
+def _kernel_strip(x_hbm, out_ref, scratch, sem, *,
+                  threshold, band, width, height, true_width, chunk_w, strip):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copy(slot, b):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * band, band + 2 * HALO), :],
+            scratch.at[slot], sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        copy((i + 1) % 2, i + 1).start()
+
+    copy(i % 2, i).wait()
+    xb = scratch[i % 2]
+    band_start = i * band
+
+    for ci in range(width // chunk_w):
+        for si in range(band // strip):
+            r0 = si * strip
+            x = jax.lax.slice(
+                xb, (r0, ci * chunk_w),
+                (r0 + strip + 2 * HALO, ci * chunk_w + chunk_w + 2 * HALO),
+            )
+            ch, cw = strip + 2, chunk_w + 2 * HALO - 6
+            center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
+
+            def tap(dy, dx, x=x, ch=ch, cw=cw):
+                return jax.lax.slice(
+                    x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw))
+
+            diffs = [(tap(dy, dx) - center).astype(jnp.bfloat16)
+                     for (dy, dx) in CIRCLE_OFFSETS]
+
+            sufn, sufx = list(diffs), list(diffs)
+            for blk in (0, 8):
+                for s in range(blk + 6, blk - 1, -1):
+                    d = diffs[s]
+                    sufn[s] = jnp.minimum(d, sufn[s + 1])
+                    sufx[s] = jnp.maximum(d, sufx[s + 1])
+            pren, prex = list(diffs), list(diffs)
+            for blk in (0, 8):
+                for j in range(blk + 1, blk + 8):
+                    d = diffs[j]
+                    pren[j] = jnp.minimum(pren[j - 1], d)
+                    prex[j] = jnp.maximum(prex[j - 1], d)
+            bright = dark = None
+            for s in range(16):
+                w9n = jnp.minimum(sufn[s], pren[(s + 8) % 16])
+                w9x = jnp.maximum(sufx[s], prex[(s + 8) % 16])
+                bright = w9n if bright is None else jnp.maximum(bright, w9n)
+                dark = w9x if dark is None else jnp.minimum(dark, w9x)
+            dark = -dark
+            score = jnp.maximum(bright, dark).astype(jnp.float32)
+            score = jnp.where(score > threshold, score, 0.0)
+
+            gy = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+                  + band_start + r0 - 1)
+            gx = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+                  + ci * chunk_w - 1)
+            ring_ok = ((gy >= 3) & (gy < height - 3)
+                       & (gx >= 3) & (gx < true_width - 3))
+            score = jnp.where(ring_ok, score, 0.0)
+
+            def nbr(dy, dx, score=score):
+                return jax.lax.slice(
+                    score, (1 + dy, 1 + dx), (1 + dy + strip, 1 + dx + chunk_w))
+
+            s0 = nbr(0, 0)
+            neigh = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    nb = nbr(dy, dx)
+                    neigh = nb if neigh is None else jnp.maximum(neigh, nb)
+            out_ref[r0:r0 + strip, ci * chunk_w:(ci + 1) * chunk_w] = (
+                jnp.where(s0 >= neigh, s0, 0.0))
+
+
+def variant_scores_strip(img, threshold, band, chunk_w, strip):
+    h, w = img.shape
+    pad_h = (-h) % band
+    w_out = w + ((-w) % chunk_w)
+    w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    dt = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
+    x = jnp.pad(img.astype(dt),
+                ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)))
+    n_bands = (h + pad_h) // band
+    out = pl.pallas_call(
+        partial(_kernel_strip, threshold=float(threshold), band=band,
+                width=w_out, height=h, true_width=w, chunk_w=chunk_w,
+                strip=strip),
+        out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((band, w_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, band + 2 * HALO, w_in), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x)
+    return out[:h, :w]
+
+
+def main5():
+    enable_compilation_cache()
+    cfg = DEFAULT_CONFIG
+    hw = (1080, 1920)
+    B, ITERS = 8, 3
+    _, frames = synthesize(4, hw, hw, B * (ITERS + 1))
+
+    bf = lambda a: a.astype(jnp.bfloat16)
+    variants = [
+        ("current  b64 c640   ", lambda a: fast_scores_pallas(
+            bf(a), 20, chunk_w=640, polarity_fused=True)),
+        ("strip s14 b56 c640  ", lambda a: variant_scores_strip(bf(a), 20, 56, 640, 14)),
+        ("strip s30 b60 c640  ", lambda a: variant_scores_strip(bf(a), 20, 60, 640, 30)),
+        ("strip s14 b56 c1920 ", lambda a: variant_scores_strip(bf(a), 20, 56, 1920, 14)),
+        ("strip s14 b56 c256  ", lambda a: variant_scores_strip(bf(a), 20, 56, 256, 14)),
+        ("strip s62 b62 c640  ", lambda a: variant_scores_strip(bf(a), 20, 62, 640, 62)),
+        ("strip s14 b112 c640 ", lambda a: variant_scores_strip(bf(a), 20, 112, 640, 14)),
+    ]
+    ref_val = None
+    for name, fn in variants:
+        def run(fr, f=fn):
+            def one(im):
+                atlas = F.build_pyramid(im, cfg.orb)
+                return jnp.sum(f(atlas))
+            return jax.lax.map(one, fr)
+        try:
+            jf = jax.jit(run)
+            batches = [jnp.asarray(frames[i * B:(i + 1) * B]) for i in range(ITERS + 1)]
+            t0 = time.time(); ref = np.asarray(jf(batches[0])); comp = time.time() - t0
+            ts = []
+            for i in range(1, ITERS + 1):
+                t0 = time.time(); np.asarray(jf(batches[i])); ts.append(time.time() - t0)
+            if ref_val is None:
+                ref_val = ref[0]
+            agree = "OK" if abs(ref[0] - ref_val) < 1 else f"MISMATCH({ref[0]:.0f} vs {ref_val:.0f})"
+            print(f"{name}  {min(ts)*1000/B:7.2f} ms/frame (batch {min(ts)*1000:.0f} ms, "
+                  f"compile {comp:.0f}s, {agree})", flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "strip":
+    main5()

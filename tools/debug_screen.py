@@ -62,7 +62,7 @@ def main():
         feats = F.describe(atlas, meta, kps, cfg.orb.max_keypoints, cfg.orb)
         _, top_q = jax.lax.top_k(feats.score, cfg.match.screen_queries)
         q_sub = jnp.take(feats.desc, top_q, axis=0)
-        ksk = min(cfg.match.screen_sketch_k, k_per)
+        ksk = min(128, k_per)  # historical sketch size (knob deleted r5)
         d_dim = index.desc_index.desc.shape[1]
         sk_desc = index.desc_index.desc.reshape(n_slides, k_per, d_dim)[:, :ksk]
         sk_valid = index.desc_index.valid.reshape(n_slides, k_per)[:, :ksk]

@@ -151,21 +151,12 @@ def main():
     t_notrim = timed(lambda inp: m_np(inp[0], inp[1], index), full_in,
                      tag=f"FULL match x{b} (no cascade trim)")
 
-    # --- full match with per-frame FAST (old front end) ---
-    cfg_nf = dataclasses.replace(
-        cfg, orb=dataclasses.replace(cfg.orb, detect_batch=1)
-    )
-    m_nf = orb_matcher.jit_match_frames(hw, cfg_nf)
-    t_nofront = timed(lambda inp: m_nf(inp[0], inp[1], index), full_in,
-                      tag=f"FULL match x{b} (per-frame FAST)")
-
     ms = lambda t: t * 1000 / b
     print("\nper-frame ms:", flush=True)
     print(f"  pyramid {ms(t_pyr):.2f}  FAST(batched) {ms(t_fb):.2f} "
           f"(was {ms(t_fs):.2f})  detect {ms(t_det):.2f}  "
           f"describe {ms(t_desc):.2f}  +table {ms(t_tab):.2f}")
-    print(f"  FULL {ms(t_full):.2f}  no-trim {ms(t_notrim):.2f}  "
-          f"per-frame-FAST {ms(t_nofront):.2f}", flush=True)
+    print(f"  FULL {ms(t_full):.2f}  no-trim {ms(t_notrim):.2f}", flush=True)
 
 
 if __name__ == "__main__":
