@@ -5,11 +5,16 @@
 // /files/{videoHash}, seek to offsetMs and play (MainView.tsx:53-62).
 //
 // Page rendering is progressive: when the raw PDF is reachable at
-// /files/{pdf-hash} and pdf.js loads (CDN), pages render client-side to
+// /files/{pdf-hash} and pdf.js loads, pages render client-side to
 // canvases at devicePixelRatio — crisp at any zoom, like the reference's
-// pdf.js viewer (viewer/index.ts:40-76). Otherwise (offline, or the deck
-// was registered from pre-extracted pages without the PDF) the viewer
-// falls back to the server-rendered PNGs.
+// pdf.js viewer (viewer/index.ts:40-76). pdf.js is loaded from the
+// wheel's vendored copy first (/vendor/*, installed by
+// tools/vendor_pdfjs.py at release-build time — the reference embeds all
+// viewer assets via rust-embed, web.rs:69-71, so offline must work) and
+// only from the CDN when the vendored copy is absent (dev checkouts).
+// If neither loads (air-gapped dev checkout, or the deck was registered
+// from pre-extracted pages without the PDF) the viewer falls back to the
+// server-rendered PNGs.
 "use strict";
 
 const PDFJS_CDN = "https://cdnjs.cloudflare.com/ajax/libs/pdf.js/3.11.174";
@@ -65,8 +70,17 @@ async function tryOpenPdf() {
     if (!head.ok) return null;
     const magic = new Uint8Array(await head.arrayBuffer());
     if (String.fromCharCode(...magic.slice(0, 4)) !== "%PDF") return null;
-    await loadScript(`${PDFJS_CDN}/pdf.min.js`);
-    window.pdfjsLib.GlobalWorkerOptions.workerSrc = `${PDFJS_CDN}/pdf.worker.min.js`;
+    try {
+      // Vendored copy (self-contained wheel; works offline).
+      await loadScript(`${serverUrl}/vendor/pdf.min.js`);
+      window.pdfjsLib.GlobalWorkerOptions.workerSrc =
+        `${serverUrl}/vendor/pdf.worker.min.js`;
+    } catch (e) {
+      // Dev checkout without vendored assets: CDN fallback.
+      await loadScript(`${PDFJS_CDN}/pdf.min.js`);
+      window.pdfjsLib.GlobalWorkerOptions.workerSrc =
+        `${PDFJS_CDN}/pdf.worker.min.js`;
+    }
     return await window.pdfjsLib.getDocument(`${serverUrl}/files/${pdfHash}`)
       .promise;
   } catch (e) {

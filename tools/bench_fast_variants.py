@@ -880,3 +880,212 @@ def main5():
 
 if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "strip":
     main5()
+
+
+# ---- Round-5 variants: compass-pretest chunk early-out (sparse skip) ----
+#
+# bench.py sparsity measurement (r5): on realistic lecture frames only
+# ~18% of (56,640) atlas tiles and ~9% of (16,640) tiles contain ANY pixel
+# passing the FAST compass pretest; worst-case synthetic content is 83-95%
+# occupied. A per-chunk pl.when early-out therefore skips ~82% of the van
+# Herk chain work on realistic content for ~15-20% pretest overhead on
+# worst-case. EXACT: a bright 9-contiguous arc must contain two adjacent
+# compass taps (positions 0,4,8,12 are 4 apart; any 9-window of 16 covers
+# two consecutive multiples of 4), so (pair-bright | pair-dark) anywhere in
+# the chunk is a necessary condition for any nonzero score.
+
+def _kernel_sparse(x_hbm, out_ref, scratch, sem, *,
+                   threshold, band, width, height, true_width, chunk_w):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def copy(slot, b):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(b * band, band + 2 * HALO), :],
+            scratch.at[slot], sem.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        copy(0, 0).start()
+
+    @pl.when(i + 1 < n)
+    def _():
+        copy((i + 1) % 2, i + 1).start()
+
+    copy(i % 2, i).wait()
+    xb = scratch[i % 2]
+    band_start = i * band
+    h = band + 2 * HALO
+
+    for ci in range(width // chunk_w):
+        x = jax.lax.slice(
+            xb, (0, ci * chunk_w), (h, ci * chunk_w + chunk_w + 2 * HALO)
+        )
+        # Compass pretest over this chunk's OUTPUT centers (band, chunk_w):
+        # center x-offset is (4, 4); taps at +-3. Same subtract dtype/cast
+        # as the chain's diffs so thresholds round identically.
+        c0 = jax.lax.slice(x, (4, 4), (4 + band, 4 + chunk_w))
+
+        def cdiff(dy, dx):
+            t = jax.lax.slice(
+                x, (4 + dy, 4 + dx), (4 + dy + band, 4 + dx + chunk_w)
+            )
+            return (t - c0).astype(jnp.bfloat16)
+
+        dn, de, ds, dw = cdiff(-3, 0), cdiff(0, 3), cdiff(3, 0), cdiff(0, -3)
+        t = jnp.bfloat16(threshold)
+        bn, be, bs, bw = dn > t, de > t, ds > t, dw > t
+        kn, ke, ks, kw = dn < -t, de < -t, ds < -t, dw < -t
+        cand = ((bn & be) | (be & bs) | (bs & bw) | (bw & bn)
+                | (kn & ke) | (ke & ks) | (ks & kw) | (kw & kn))
+        occupied = jnp.any(cand)
+
+        @pl.when(occupied)
+        def _(x=x, ci=ci):
+            ch, cw = h - 6, chunk_w + 2 * HALO - 6
+            center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
+
+            def tap(dy, dx):
+                return jax.lax.slice(
+                    x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw))
+
+            diffs = [(tap(dy, dx) - center).astype(jnp.bfloat16)
+                     for (dy, dx) in CIRCLE_OFFSETS]
+            sufn, sufx = list(diffs), list(diffs)
+            for blk in (0, 8):
+                for s in range(blk + 6, blk - 1, -1):
+                    d = diffs[s]
+                    sufn[s] = jnp.minimum(d, sufn[s + 1])
+                    sufx[s] = jnp.maximum(d, sufx[s + 1])
+            pren, prex = list(diffs), list(diffs)
+            for blk in (0, 8):
+                for j in range(blk + 1, blk + 8):
+                    d = diffs[j]
+                    pren[j] = jnp.minimum(pren[j - 1], d)
+                    prex[j] = jnp.maximum(prex[j - 1], d)
+            bright = dark = None
+            for s in range(16):
+                w9n = jnp.minimum(sufn[s], pren[(s + 8) % 16])
+                w9x = jnp.maximum(sufx[s], prex[(s + 8) % 16])
+                bright = w9n if bright is None else jnp.maximum(bright, w9n)
+                dark = w9x if dark is None else jnp.minimum(dark, w9x)
+            dark = -dark
+            score = jnp.maximum(bright, dark).astype(jnp.float32)
+            score = jnp.where(score > threshold, score, 0.0)
+
+            gy = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 0)
+                  + band_start - 1)
+            gx = (jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+                  + ci * chunk_w - 1)
+            ring_ok = ((gy >= 3) & (gy < height - 3)
+                       & (gx >= 3) & (gx < true_width - 3))
+            score = jnp.where(ring_ok, score, 0.0)
+
+            def nbr(dy, dx, score=score):
+                return jax.lax.slice(
+                    score, (1 + dy, 1 + dx),
+                    (1 + dy + band, 1 + dx + chunk_w))
+
+            s0 = nbr(0, 0)
+            neigh = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    nb = nbr(dy, dx)
+                    neigh = nb if neigh is None else jnp.maximum(neigh, nb)
+            out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = (
+                jnp.where(s0 >= neigh, s0, 0.0))
+
+        @pl.when(jnp.logical_not(occupied))
+        def _(ci=ci):
+            out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = jnp.zeros(
+                (band, chunk_w), jnp.float32)
+
+
+def variant_scores_sparse(img, threshold, band, chunk_w):
+    h, w = img.shape
+    pad_h = (-h) % band
+    w_out = w + ((-w) % chunk_w)
+    w_in = w_out + 2 * HALO + ((-(w_out + 2 * HALO)) % 128)
+    dt = img.dtype if img.dtype == jnp.bfloat16 else jnp.float32
+    x = jnp.pad(img.astype(dt),
+                ((HALO, HALO + pad_h), (HALO, w_in - w - HALO)))
+    n_bands = (h + pad_h) // band
+    out = pl.pallas_call(
+        partial(_kernel_sparse, threshold=float(threshold), band=band,
+                width=w_out, height=h, true_width=w, chunk_w=chunk_w),
+        out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
+        grid=(n_bands,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((band, w_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, band + 2 * HALO, w_in), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x)
+    return out[:h, :w]
+
+
+def main6():
+    enable_compilation_cache()
+    from bench import synthesize_realistic_frames
+    cfg = DEFAULT_CONFIG
+    hw = (1080, 1920)
+    B, ITERS = 8, 3
+    slides, frames_w = synthesize(4, hw, hw, B * (ITERS + 1))
+    frames_r = synthesize_realistic_frames(slides, hw, B * (ITERS + 1))
+
+    bf = lambda a: a.astype(jnp.bfloat16)
+    variants = [
+        ("current  b64 c640", lambda a: fast_scores_pallas(
+            bf(a), 20, chunk_w=640, polarity_fused=True)),
+        ("sparse   b64 c640", lambda a: variant_scores_sparse(bf(a), 20, 64, 640)),
+        ("sparse   b32 c640", lambda a: variant_scores_sparse(bf(a), 20, 32, 640)),
+        ("sparse   b16 c640", lambda a: variant_scores_sparse(bf(a), 20, 16, 640)),
+    ]
+    for content, frames in (("worst", frames_w), ("realistic", frames_r)):
+        print(f"== {content} content ==", flush=True)
+        ref_val = None
+        for name, fn in variants:
+            def run(fr, f=fn):
+                def one(im):
+                    atlas = F.build_pyramid(im, cfg.orb)
+                    return jnp.sum(f(atlas))
+                return jax.lax.map(one, fr)
+            try:
+                jf = jax.jit(run)
+                batches = [jnp.asarray(frames[i * B:(i + 1) * B])
+                           for i in range(ITERS + 1)]
+                t0 = time.time(); ref = np.asarray(jf(batches[0]))
+                comp = time.time() - t0
+                ts = []
+                for i in range(1, ITERS + 1):
+                    t0 = time.time(); np.asarray(jf(batches[i]))
+                    ts.append(time.time() - t0)
+                if ref_val is None:
+                    ref_val = ref[0]
+                agree = ("OK" if abs(ref[0] - ref_val) < 1
+                         else f"MISMATCH({ref[0]:.0f} vs {ref_val:.0f})")
+                print(f"{name}  {min(ts)*1000/B:7.2f} ms/frame "
+                      f"(compile {comp:.0f}s, {agree})", flush=True)
+            except Exception as e:
+                print(f"{name}: FAILED {type(e).__name__}: {str(e)[:140]}",
+                      flush=True)
+        # exactness: full score maps bit-equal on one frame of each batch
+        cur = jax.jit(lambda im: fast_scores_pallas(
+            bf(F.build_pyramid(im, cfg.orb)), 20, chunk_w=640,
+            polarity_fused=True))
+        sp = jax.jit(lambda im: variant_scores_sparse(
+            bf(F.build_pyramid(im, cfg.orb)), 20, 64, 640))
+        a = np.asarray(cur(jnp.asarray(frames[0])))
+        b = np.asarray(sp(jnp.asarray(frames[0])))
+        print(f"exactness ({content}): bit-equal={np.array_equal(a, b)} "
+              f"nnz cur={np.count_nonzero(a)} sparse={np.count_nonzero(b)}",
+              flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "sparse":
+    main6()
