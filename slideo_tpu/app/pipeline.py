@@ -232,12 +232,31 @@ def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
     gated by the warm-equality test, tests/test_pipeline.py). pts stay
     float32: subpixel coordinates up to ~2048 px exceed f16's 11-bit
     mantissa. Crash-safe: write + atomic rename."""
+    import time as _time
+
+    import jax.numpy as jnp
+
+    from ..ops import hamming
+
     target = get_temp_path_key("index", key)
     target.mkdir(parents=True, exist_ok=True)
     di = index.desc_index
     s, k, _ = index.pts.shape
-    desc = np.asarray(di.desc).reshape(s, k, -1)
-    packed = np.packbits((desc > 0).astype(np.uint8), axis=-1)
+    # Pack bits and quantize thumbnails ON DEVICE before fetching: the raw
+    # f32 descriptor tensor of a 500-slide deck is ~1 GB and the fetch over
+    # a tunneled TPU was 436 s of a 483 s cold build (r5 breakdown); the
+    # packed+f16 form is ~160 MB.
+    t0 = _time.time()
+    packed_dev, vbits_dev = jax.jit(
+        hamming.pack_descriptor_bits, static_argnums=(2, 3)
+    )(di.desc, di.valid, s, k)
+    smalls_dev = jnp.asarray(index.smalls, jnp.float16)
+    packed = np.asarray(packed_dev)
+    vbits = np.asarray(vbits_dev)
+    pts_h = np.asarray(index.pts)
+    smalls_h = np.asarray(smalls_dev)
+    t_fetch = _time.time() - t0
+    t0 = _time.time()
     # Per-process tmp name: concurrent cold builds of the same key (real
     # multi-process runs) must not interleave writes into one inode before
     # the atomic replace.
@@ -246,13 +265,17 @@ def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
         np.savez(
             f,
             desc_bits=packed,
-            valid=np.packbits(np.asarray(di.valid).reshape(s, k), axis=-1),
-            pts=np.asarray(index.pts),
-            smalls_f16=np.asarray(index.smalls).astype(np.float16),
+            valid=vbits,
+            pts=pts_h,
+            smalls_f16=smalls_h,
             slide_hw=np.asarray(slide_hw, np.int32),
             k_per_slide=np.asarray([k], np.int32),
         )
     tmp.replace(target / "index.npz")
+    LAST_BUILD_BREAKDOWN.update(
+        save_fetch_s=round(t_fetch, 2),
+        save_write_s=round(_time.time() - t0, 2),
+    )
 
 
 def _save_sift_index(key: str, index, slide_hw: tuple[int, int]) -> None:
@@ -261,17 +284,21 @@ def _save_sift_index(key: str, index, slide_hw: tuple[int, int]) -> None:
     dot-product RANKING — the warm-equality and screened-recall gates in
     tests/test_sift.py arbitrate), and the npz + warm upload halve vs f32
     (~250 MB for a 500-slide deck). Crash-safe: write + atomic rename."""
+    import jax.numpy as jnp
+
     target = get_temp_path_key("index", key)
     target.mkdir(parents=True, exist_ok=True)
     tmp = target / f"index.npz.tmp.{os.getpid()}"
+    # f16-cast on device BEFORE fetching (like the ORB save): the f32 desc
+    # + thumbnail fetch of a 500-slide deck is ~500 MB over the tunnel.
     with open(tmp, "wb") as f:
         np.savez(
             f,
-            desc_f16=np.asarray(index.desc).astype(np.float16),
+            desc_f16=np.asarray(jnp.asarray(index.desc, jnp.float16)),
             valid=np.packbits(np.asarray(index.valid)),
             pts=np.asarray(index.pts),
             scale=np.asarray(index.scale),
-            smalls_f16=np.asarray(index.smalls).astype(np.float16),
+            smalls_f16=np.asarray(jnp.asarray(index.smalls, jnp.float16)),
             slide_hw=np.asarray(slide_hw, np.int32),
         )
     tmp.replace(target / "index.npz")
@@ -421,7 +448,7 @@ class MatchingEngine:
             t0 = _time.time()
             self.index = orb_matcher.build_slide_index_from_chunks(
                 _iter_page_chunks(paths, self.slide_hw, chunk),
-                len(paths), cfg, chunk,
+                len(paths), cfg, chunk, breakdown=LAST_BUILD_BREAKDOWN,
             )
         else:
             grays, self.slide_hw = _load_page_grays(pages)

@@ -57,6 +57,21 @@ class OrbConfig:
                                     # exactly — no 2048 round-up columns.
                                     # v5e A/B: 370.4 vs 390.7 ms/batch-64;
                                     # composes with fused polarity (362.1).
+    fast_sparse_skip: bool = True   # per-(band, chunk) compass-pretest
+                                    # early-out in the FAST kernel: a chunk
+                                    # with no pixel whose adjacent compass
+                                    # tap pair clears the threshold provably
+                                    # has an all-zero score map and skips
+                                    # the van Herk chains entirely. EXACT
+                                    # (bit-equal on chip, both content
+                                    # regimes). v5e pyramid+FAST A/B at
+                                    # batch 8: realistic lecture content
+                                    # 4.46 -> 3.52 ms/frame (only ~18% of
+                                    # tiles hold candidates); worst-case
+                                    # corner-dense 4.45 -> 4.93 (pretest
+                                    # overhead) — the production regime
+                                    # (BACKGROUND.md:11, 200-700 kps) is
+                                    # the sparse one.
     atlas_bf16: bool = True         # store the pyramid atlas as bfloat16:
                                     # halves the FAST sweep's DMA + tap-plane
                                     # VMEM traffic. Level-0 pixels (integers

@@ -85,7 +85,8 @@ def build_slide_index_chunked(
 
 
 def build_slide_index_from_chunks(
-    chunks, n_slides: int, cfg: SlideoConfig, chunk: int
+    chunks, n_slides: int, cfg: SlideoConfig, chunk: int,
+    breakdown: dict | None = None,
 ) -> SlideIndex:
     """Build the deck index from an iterator of [<=chunk, H, W] uint8 numpy
     batches (streaming form of build_slide_index_chunked).
@@ -96,7 +97,14 @@ def build_slide_index_from_chunks(
     decode cost of a 500-page deck then hides entirely under the build.
     A short final chunk is padded by repeating its last page (pad rows are
     trimmed after the concat).
+
+    breakdown, if given, gains wall-time terms: decode_wait_s (time blocked
+    on the chunk iterator), first_chunk_s (compile + first dispatch of the
+    extract program), dispatch_s (remaining async chunk dispatches),
+    assemble_s (concat + build_index + the blocking fetch barrier).
     """
+    import time as _time
+
     import numpy as _np
 
     from ..ops.features import extract_features_batch
@@ -108,21 +116,42 @@ def build_slide_index_from_chunks(
 
     fn = jax.jit(one_chunk)
     outs = []
-    for batch in chunks:
+    t_wait = t_first = t_disp = 0.0
+    it = iter(chunks)
+    while True:
+        t0 = _time.time()
+        batch = next(it, None)
+        t_wait += _time.time() - t0
+        if batch is None:
+            break
         if batch.shape[0] < chunk:
             batch = _np.concatenate(
                 [batch, _np.repeat(batch[-1:], chunk - batch.shape[0], axis=0)]
             )
+        t0 = _time.time()
         outs.append(fn(jnp.asarray(batch)))
+        if not t_first:
+            t_first = _time.time() - t0
+        else:
+            t_disp += _time.time() - t0
     s = n_slides
+    t0 = _time.time()
     desc = jnp.concatenate([f.desc for f, _ in outs])[:s]
     valid = jnp.concatenate([f.valid for f, _ in outs])[:s]
     pts = jnp.concatenate([f.pts for f, _ in outs])[:s]
     smalls = jnp.concatenate([sm for _, sm in outs])[:s]
     index = jax.jit(hamming.build_index)(desc, valid)
-    return jax.block_until_ready(
+    out = jax.block_until_ready(
         SlideIndex(desc_index=index, pts=pts, smalls=smalls)
     )
+    if breakdown is not None:
+        breakdown.update(
+            decode_wait_s=round(t_wait, 2),
+            first_chunk_s=round(t_first, 2),
+            dispatch_s=round(t_disp, 2),
+            assemble_s=round(_time.time() - t0, 2),
+        )
+    return out
 
 
 def _query_buckets(cfg: SlideoConfig) -> tuple[int, ...]:

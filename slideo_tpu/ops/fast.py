@@ -84,7 +84,7 @@ def nms3x3(score: jax.Array) -> jax.Array:
 
 def score_map(
     img: jax.Array, threshold: int, chunk_w: int = 512,
-    polarity_fused: bool = False,
+    polarity_fused: bool = False, sparse_skip: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score map of a [H, W] image, backend-dispatched.
 
@@ -101,13 +101,14 @@ def score_map(
     from .pallas_fast import fast_scores_pallas
 
     return fast_scores_pallas(
-        img, threshold, chunk_w=chunk_w, polarity_fused=polarity_fused
+        img, threshold, chunk_w=chunk_w, polarity_fused=polarity_fused,
+        sparse_skip=sparse_skip,
     )
 
 
 def score_map_batch(
     imgs: jax.Array, threshold: int, chunk_w: int = 512,
-    polarity_fused: bool = False,
+    polarity_fused: bool = False, sparse_skip: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score maps of a [B, H, W] batch, backend-dispatched.
 
@@ -120,7 +121,8 @@ def score_map_batch(
     from .pallas_fast import fast_scores_pallas_batch
 
     return fast_scores_pallas_batch(
-        imgs, threshold, chunk_w=chunk_w, polarity_fused=polarity_fused
+        imgs, threshold, chunk_w=chunk_w, polarity_fused=polarity_fused,
+        sparse_skip=sparse_skip,
     )
 
 

@@ -256,7 +256,8 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
     identical (see fast.score_map). Only the top-k runs per level (quotas).
     """
     score_atlas = fast.score_map(
-        atlas, cfg.fast_threshold, cfg.fast_chunk_w, cfg.fast_polarity_fused
+        atlas, cfg.fast_threshold, cfg.fast_chunk_w, cfg.fast_polarity_fused,
+        cfg.fast_sparse_skip,
     )
     return detect_from_scores(score_atlas, meta, cfg)
 

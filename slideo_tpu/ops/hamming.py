@@ -105,6 +105,35 @@ def unpack_descriptor_bits(
     return desc, valid
 
 
+def pack_descriptor_bits(
+    desc: jax.Array, valid: jax.Array, s: int, k: int
+) -> tuple[jax.Array, jax.Array]:
+    """Device-side np.packbits: build_index arrays -> persistable packed form.
+
+    Inverse of unpack_descriptor_bits (same MSB-first byte layout as
+    np.packbits): desc [S*K, D] (any signed dtype; bit = value > 0),
+    valid [S*K] bool. Returns (desc_bits [S, K, D//8] uint8,
+    valid_bits [S, ceil(K/8)] uint8).
+
+    Packing on device before the fetch is what makes cold-build persistence
+    viable on tunneled/remote TPUs: fetching the raw f32 descriptor tensor
+    of a 500-slide deck moves ~1 GB (chip-measured r5: 436 s of a 483 s
+    cold build was this one np.asarray); the packed form is 32 MB.
+    """
+    d = desc.shape[-1]
+    weights = (jnp.uint8(1) << jnp.arange(7, -1, -1, dtype=jnp.uint8))
+    bits = (desc > 0).astype(jnp.uint8).reshape(s, k, d // 8, 8)
+    desc_bits = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
+    kp = (-k) % 8
+    v = valid.reshape(s, k).astype(jnp.uint8)
+    if kp:
+        v = jnp.pad(v, ((0, 0), (0, kp)))
+    vbits = jnp.sum(
+        v.reshape(s, -1, 8) * weights, axis=-1, dtype=jnp.uint8
+    )
+    return desc_bits, vbits
+
+
 def build_index(slide_desc: jax.Array, slide_valid: jax.Array) -> DescriptorIndex:
     """Build the index from per-slide descriptors [S, K, D] and validity [S, K]."""
     s, k, d = slide_desc.shape

@@ -42,6 +42,7 @@ def _kernel(
     x_hbm, out_ref, scratch, sem, *,
     threshold: float, band: int, width: int, height: int, true_width: int,
     chunk_w: int, batched: bool = False, polarity_fused: bool = False,
+    sparse_skip: bool = False,
 ):
     if batched:
         # Grid (B, n_bands): one launch scores a whole frame batch — the
@@ -102,96 +103,157 @@ def _kernel(
             xb, (0, ci * chunk_w),
             (h, ci * chunk_w + chunk_w + 2 * HALO),
         )
-        ch, cw = h - 6, chunk_w + 2 * HALO - 6
-        center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
 
-        def tap(dy, dx):
-            return jax.lax.slice(
-                x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw)
+        def _chunk_body(x=x, ci=ci):
+            _compute_chunk(
+                x, ci, out_ref, band_start=band_start, threshold=threshold,
+                band=band, height=height, true_width=true_width,
+                chunk_w=chunk_w, batched=batched,
+                polarity_fused=polarity_fused, h=h,
             )
 
-        diffs = [
-            (tap(dy, dx) - center).astype(jnp.bfloat16)
-            for (dy, dx) in CIRCLE_OFFSETS
-        ]
+        if not sparse_skip:
+            _chunk_body()
+            continue
 
-        # Circular 9-window reductions via van Herk/Gil-Werman: per-8-block
-        # prefix/suffix chains, window[s] = op(suffix[s], prefix[s+8]).
-        def seg_reduce(op, outer):
-            suf = list(diffs)
-            for blk in (0, 8):
-                for s in range(blk + 6, blk - 1, -1):
-                    suf[s] = op(diffs[s], suf[s + 1])
-            pre = list(diffs)
-            for blk in (0, 8):
-                for j in range(blk + 1, blk + 8):
-                    pre[j] = op(pre[j - 1], diffs[j])
-            acc = None
-            for s in range(16):
-                w9 = op(suf[s], pre[(s + 8) % 16])
-                acc = w9 if acc is None else outer(acc, w9)
-            return acc
+        # Compass pretest early-out (chip-measured r5, 1080p atlas batch 8:
+        # realistic lecture content -0.94 ms/frame — only ~18% of
+        # (64, 640) tiles hold any candidate — worst-case corner-dense
+        # content +0.48 ms; bit-equal on both). EXACT: a bright/dark
+        # 9-contiguous arc always contains two adjacent compass taps
+        # (positions 0,4,8,12 are 4 apart; any 9-of-16 window covers two
+        # consecutive multiples of 4), so a pair-witness above threshold
+        # somewhere in the chunk is necessary for any nonzero score.
+        # No bool vectors (i1 combines of bf16 compares hit a Mosaic
+        # relayout bug): pair-AND = min, OR = max, one scalar compare
+        # after the f32 max-reduce. f32 diffs of bf16 operands are exact
+        # and bf16_round(d) > t implies d > t for bf16-representable t,
+        # so the f32 pretest stays a necessary condition for the bf16
+        # chain's strict > threshold test.
+        c0 = jax.lax.slice(x, (4, 4), (4 + band, 4 + chunk_w))
 
-        if polarity_fused:
-            # Interleave the bright/dark chains so each diffs plane is read
-            # once per chain step (identical math, different schedule).
-            sufn, sufx = list(diffs), list(diffs)
-            for blk in (0, 8):
-                for s in range(blk + 6, blk - 1, -1):
-                    d = diffs[s]
-                    sufn[s] = jnp.minimum(d, sufn[s + 1])
-                    sufx[s] = jnp.maximum(d, sufx[s + 1])
-            pren, prex = list(diffs), list(diffs)
-            for blk in (0, 8):
-                for j in range(blk + 1, blk + 8):
-                    d = diffs[j]
-                    pren[j] = jnp.minimum(pren[j - 1], d)
-                    prex[j] = jnp.maximum(prex[j - 1], d)
-            bright = dark = None
-            for s in range(16):
-                w9n = jnp.minimum(sufn[s], pren[(s + 8) % 16])
-                w9x = jnp.maximum(sufx[s], prex[(s + 8) % 16])
-                bright = w9n if bright is None else jnp.maximum(bright, w9n)
-                dark = w9x if dark is None else jnp.minimum(dark, w9x)
-            dark = -dark
-        else:
-            bright = seg_reduce(jnp.minimum, jnp.maximum)
-            dark = -seg_reduce(jnp.maximum, jnp.minimum)
-        score = jnp.maximum(bright, dark).astype(jnp.float32)
-        score = jnp.where(score > threshold, score, 0.0)
-
-        # Zero the global 3px image ring BEFORE NMS (parity with ops/fast.py:
-        # ring pixels must not suppress interior neighbors). score[r, c] maps
-        # to image row (band_start + r - 1), col (ci*chunk_w + c - 1).
-        gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
-        gx = (
-            jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
-            + ci * chunk_w - 1
-        )
-        ring_ok = (
-            (gy >= 3) & (gy < height - 3) & (gx >= 3) & (gx < true_width - 3)
-        )
-        score = jnp.where(ring_ok, score, 0.0)
-
-        # 3x3 NMS on the score plane; the extra ring in ch/cw feeds borders.
-        def nbr(dy, dx):
-            return jax.lax.slice(
-                score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + chunk_w)
+        def cdiff(dy, dx, x=x):
+            t = jax.lax.slice(
+                x, (4 + dy, 4 + dx), (4 + dy + band, 4 + dx + chunk_w)
             )
+            return t.astype(jnp.float32) - c0.astype(jnp.float32)
 
-        s0 = nbr(0, 0)
-        neigh = None
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                nb = nbr(dy, dx)
-                neigh = nb if neigh is None else jnp.maximum(neigh, nb)
-        res = jnp.where(s0 >= neigh, s0, 0.0)
-        if batched:
-            out_ref[0, :, ci * chunk_w:(ci + 1) * chunk_w] = res
-        else:
-            out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = res
+        dn, de, ds, dw = cdiff(-3, 0), cdiff(0, 3), cdiff(3, 0), cdiff(0, -3)
+        bright_m = dark_m = None
+        for a, b2 in ((dn, de), (de, ds), (ds, dw), (dw, dn)):
+            pb = jnp.minimum(a, b2)   # pair both-bright witness
+            pd = jnp.maximum(a, b2)   # pair both-dark witness (negated)
+            bright_m = pb if bright_m is None else jnp.maximum(bright_m, pb)
+            dark_m = pd if dark_m is None else jnp.minimum(dark_m, pd)
+        occupied = jnp.max(jnp.maximum(bright_m, -dark_m)) > threshold
+
+        @pl.when(occupied)
+        def _():
+            _chunk_body()
+
+        @pl.when(jnp.logical_not(occupied))
+        def _(ci=ci):
+            zeros = jnp.zeros((band, chunk_w), jnp.float32)
+            if batched:
+                out_ref[0, :, ci * chunk_w:(ci + 1) * chunk_w] = zeros
+            else:
+                out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = zeros
+
+
+def _compute_chunk(
+    x, ci, out_ref, *, band_start, threshold, band, height, true_width,
+    chunk_w, batched, polarity_fused, h,
+):
+    ch, cw = h - 6, chunk_w + 2 * HALO - 6
+    center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
+
+    def tap(dy, dx):
+        return jax.lax.slice(
+            x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw)
+        )
+
+    diffs = [
+        (tap(dy, dx) - center).astype(jnp.bfloat16)
+        for (dy, dx) in CIRCLE_OFFSETS
+    ]
+
+    # Circular 9-window reductions via van Herk/Gil-Werman: per-8-block
+    # prefix/suffix chains, window[s] = op(suffix[s], prefix[s+8]).
+    def seg_reduce(op, outer):
+        suf = list(diffs)
+        for blk in (0, 8):
+            for s in range(blk + 6, blk - 1, -1):
+                suf[s] = op(diffs[s], suf[s + 1])
+        pre = list(diffs)
+        for blk in (0, 8):
+            for j in range(blk + 1, blk + 8):
+                pre[j] = op(pre[j - 1], diffs[j])
+        acc = None
+        for s in range(16):
+            w9 = op(suf[s], pre[(s + 8) % 16])
+            acc = w9 if acc is None else outer(acc, w9)
+        return acc
+
+    if polarity_fused:
+        # Interleave the bright/dark chains so each diffs plane is read
+        # once per chain step (identical math, different schedule).
+        sufn, sufx = list(diffs), list(diffs)
+        for blk in (0, 8):
+            for s in range(blk + 6, blk - 1, -1):
+                d = diffs[s]
+                sufn[s] = jnp.minimum(d, sufn[s + 1])
+                sufx[s] = jnp.maximum(d, sufx[s + 1])
+        pren, prex = list(diffs), list(diffs)
+        for blk in (0, 8):
+            for j in range(blk + 1, blk + 8):
+                d = diffs[j]
+                pren[j] = jnp.minimum(pren[j - 1], d)
+                prex[j] = jnp.maximum(prex[j - 1], d)
+        bright = dark = None
+        for s in range(16):
+            w9n = jnp.minimum(sufn[s], pren[(s + 8) % 16])
+            w9x = jnp.maximum(sufx[s], prex[(s + 8) % 16])
+            bright = w9n if bright is None else jnp.maximum(bright, w9n)
+            dark = w9x if dark is None else jnp.minimum(dark, w9x)
+        dark = -dark
+    else:
+        bright = seg_reduce(jnp.minimum, jnp.maximum)
+        dark = -seg_reduce(jnp.maximum, jnp.minimum)
+    score = jnp.maximum(bright, dark).astype(jnp.float32)
+    score = jnp.where(score > threshold, score, 0.0)
+
+    # Zero the global 3px image ring BEFORE NMS (parity with ops/fast.py:
+    # ring pixels must not suppress interior neighbors). score[r, c] maps
+    # to image row (band_start + r - 1), col (ci*chunk_w + c - 1).
+    gy = jax.lax.broadcasted_iota(jnp.int32, score.shape, 0) + band_start - 1
+    gx = (
+        jax.lax.broadcasted_iota(jnp.int32, score.shape, 1)
+        + ci * chunk_w - 1
+    )
+    ring_ok = (
+        (gy >= 3) & (gy < height - 3) & (gx >= 3) & (gx < true_width - 3)
+    )
+    score = jnp.where(ring_ok, score, 0.0)
+
+    # 3x3 NMS on the score plane; the extra ring in ch/cw feeds borders.
+    def nbr(dy, dx):
+        return jax.lax.slice(
+            score, (1 + dy, 1 + dx), (1 + dy + band, 1 + dx + chunk_w)
+        )
+
+    s0 = nbr(0, 0)
+    neigh = None
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = nbr(dy, dx)
+            neigh = nb if neigh is None else jnp.maximum(neigh, nb)
+    res = jnp.where(s0 >= neigh, s0, 0.0)
+    if batched:
+        out_ref[0, :, ci * chunk_w:(ci + 1) * chunk_w] = res
+    else:
+        out_ref[:, ci * chunk_w:(ci + 1) * chunk_w] = res
 
 
 def fast_scores_pallas(
@@ -201,6 +263,7 @@ def fast_scores_pallas(
     chunk_w: int = 512,
     interpret: bool = False,
     polarity_fused: bool = False,
+    sparse_skip: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score map of a [H, W] float32 image (Pallas kernel).
 
@@ -225,7 +288,7 @@ def fast_scores_pallas(
         partial(
             _kernel, threshold=float(threshold), band=band, width=w_out,
             height=h, true_width=w, chunk_w=chunk_w,
-            polarity_fused=polarity_fused,
+            polarity_fused=polarity_fused, sparse_skip=sparse_skip,
         ),
         out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
         grid=(n_bands,),
@@ -252,6 +315,7 @@ def fast_scores_pallas_batch(
     chunk_w: int = 512,
     interpret: bool = False,
     polarity_fused: bool = False,
+    sparse_skip: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score maps of a [B, H, W] batch in ONE kernel launch.
 
@@ -275,7 +339,7 @@ def fast_scores_pallas_batch(
         partial(
             _kernel, threshold=float(threshold), band=band, width=w_out,
             height=h, true_width=w, chunk_w=chunk_w, batched=True,
-            polarity_fused=polarity_fused,
+            polarity_fused=polarity_fused, sparse_skip=sparse_skip,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h + pad_h, w_out), jnp.float32),
         grid=(b, n_bands),

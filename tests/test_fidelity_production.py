@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 
 import cv2
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -141,3 +142,52 @@ def test_oracle_parity_production_config():
     for i, frame in enumerate(frames):
         ref = _cv2_reference_assignment(slides, frame, cfg)
         assert ours[i] == ref, (i, int(ours[i]), ref, truth[i])
+
+
+def _sift_assignments(slides, frames, cfg):
+    from slideo_tpu.models import sift_matcher
+
+    index = sift_matcher.build_slide_index_sift_chunked(
+        np.asarray(slides), cfg, chunk=32
+    )
+    h, w = slides.shape[1:]
+    fn = jax.jit(
+        lambda f, s, ix: sift_matcher.match_frames_sift(f, s, ix, (h, w), cfg)
+    )
+    out = fn(
+        jnp.asarray(np.stack(frames).astype(np.float32)),
+        jnp.arange(len(frames), dtype=jnp.int32),
+        index,
+    )
+    return list(np.asarray(out.slide))
+
+
+@pytest.mark.slow
+def test_sift_screened_equals_exact_near_duplicate_deck():
+    """SIFT stage-1 screening (hamming.screen_slides_float) vs the exact
+    full f32 table: 0 assignment diffs at 250 near-duplicate slides with the
+    SHIPPED screening constants (VERDICT r4 #5 — the 16-slide toy gate in
+    test_sift.py cannot catch level-distribution recall traps; the ORB
+    engine's full-K fix in round 3 came from exactly this deck shape)."""
+    rng = np.random.RandomState(17)
+    slides = _incremental_deck(rng)  # 250 slides
+    frames, truth = _perturbed_frames(rng, slides, 16)
+    sift = dataclasses.replace(
+        DEFAULT_CONFIG.sift, max_keypoints=768, n_octaves=4
+    )
+    base = dataclasses.replace(DEFAULT_CONFIG, sift=sift)
+    exact_cfg = dataclasses.replace(
+        base, match=dataclasses.replace(base.match, screen_above_slides=1 << 30)
+    )
+    screened_cfg = base  # 250 > screen_above_slides -> screening on
+    assert screened_cfg.match.screen_above_slides < len(slides)
+    exact = _sift_assignments(slides, frames, exact_cfg)
+    screened = _sift_assignments(slides, frames, screened_cfg)
+    diffs = [i for i, (a, b) in enumerate(zip(exact, screened)) if a != b]
+    assert diffs == [], (diffs, [(exact[i], screened[i]) for i in diffs])
+    # Sanity: the engine resolves a meaningful share of this hard deck
+    # (near-duplicate slides differing in one bullet line are adversarial
+    # for scale-space features; the gate above is the real contract).
+    resolved = sum(1 for a, t in zip(exact, truth) if a == t)
+    assert resolved >= int(0.5 * sum(1 for t in truth if t >= 0)), (
+        resolved, exact, truth)

@@ -2,6 +2,7 @@
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -226,3 +227,26 @@ def test_screen_batched_equals_per_frame(rng):
         # queries; here all qs queries are the pick), so compare slide SETS
         # and the vote-ordering of the overlap.
         assert set(got[f].tolist()) == set(want.tolist()), (f, got[f], want)
+
+
+def test_pack_descriptor_bits_matches_numpy(rng):
+    """Device-side pack (cold-build save path) must produce byte-identical
+    output to np.packbits, and roundtrip through unpack_descriptor_bits."""
+    s, k, d = 3, 24, 64
+    desc = rng.choice(np.array([-1, 1], np.int8), (s * k, d))
+    valid = rng.rand(s * k) > 0.3
+    desc = np.where(valid[:, None], desc, 0).astype(np.int8)
+    db, vb = jax.jit(hamming.pack_descriptor_bits, static_argnums=(2, 3))(
+        jnp.asarray(desc), jnp.asarray(valid), s, k
+    )
+    ref_db = np.packbits(
+        (desc.reshape(s, k, d) > 0).astype(np.uint8), axis=-1
+    )
+    ref_vb = np.packbits(valid.reshape(s, k), axis=-1)
+    np.testing.assert_array_equal(np.asarray(db), ref_db)
+    np.testing.assert_array_equal(np.asarray(vb), ref_vb)
+    desc2, valid2 = hamming.unpack_descriptor_bits(db, vb, k)
+    np.testing.assert_array_equal(
+        np.asarray(desc2).reshape(s * k, d)[valid], desc[valid]
+    )
+    np.testing.assert_array_equal(np.asarray(valid2).reshape(-1), valid)

@@ -98,3 +98,32 @@ def test_pallas_fast_polarity_fused_parity(rng):
     b = np.asarray(fast_scores_pallas(jnp.asarray(img), 20, band=64,
                                       interpret=True, polarity_fused=True))
     assert (a == b).all()
+
+
+def test_pallas_fast_sparse_skip_parity(rng):
+    """fast_sparse_skip's compass-pretest chunk early-out is EXACT: the
+    pretest (an adjacent compass tap pair over threshold) is a necessary
+    condition for any 9-contiguous FAST arc, so skipped chunks are provably
+    all-zero. Scores must be bit-identical on sparse AND dense content, in
+    both the single-frame and batched kernels."""
+    from slideo_tpu.ops.pallas_fast import fast_scores_pallas_batch
+
+    # sparse: mostly flat with a few corner clusters (some chunks skip)
+    sparse = np.full((200, 320), 120, np.float32)
+    sparse[20:30, 40:50] = 250
+    sparse[150:160, 200:260] = 10
+    # dense: every chunk occupied
+    dense = (rng.rand(200, 320) * 255).astype(np.uint8).astype(np.float32)
+    for img in (sparse, dense):
+        a = np.asarray(fast_scores_pallas(
+            jnp.asarray(img), 20, band=64, interpret=True,
+            polarity_fused=True))
+        b = np.asarray(fast_scores_pallas(
+            jnp.asarray(img), 20, band=64, interpret=True,
+            polarity_fused=True, sparse_skip=True))
+        assert (a == b).all()
+    imgs = np.stack([sparse, dense])
+    got = np.asarray(fast_scores_pallas_batch(
+        jnp.asarray(imgs), 20, band=64, interpret=True, sparse_skip=True))
+    for b2 in range(2):
+        np.testing.assert_array_equal(got[b2], _ref(imgs[b2]))

@@ -895,7 +895,8 @@ if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "strip":
 # the chunk is a necessary condition for any nonzero score.
 
 def _kernel_sparse(x_hbm, out_ref, scratch, sem, *,
-                   threshold, band, width, height, true_width, chunk_w):
+                   threshold, band, width, height, true_width, chunk_w,
+                   pret_dtype=jnp.float32):
     i = pl.program_id(0)
     n = pl.num_programs(0)
 
@@ -927,19 +928,28 @@ def _kernel_sparse(x_hbm, out_ref, scratch, sem, *,
         # as the chain's diffs so thresholds round identically.
         c0 = jax.lax.slice(x, (4, 4), (4 + band, 4 + chunk_w))
 
+        # No bool vectors (i1 AND/OR of bf16-compare results hits a Mosaic
+        # relayout bug): pair-AND = min, OR = max, one scalar compare after
+        # the reduce. f32 diffs of bf16 operands are exact, and
+        # bf16_round(d) > t implies d > t for bf16-representable t, so the
+        # f32 pretest stays a necessary condition for the bf16 chain.
         def cdiff(dy, dx):
             t = jax.lax.slice(
                 x, (4 + dy, 4 + dx), (4 + dy + band, 4 + dx + chunk_w)
             )
-            return (t - c0).astype(jnp.bfloat16)
+            return (t - c0).astype(pret_dtype)
 
         dn, de, ds, dw = cdiff(-3, 0), cdiff(0, 3), cdiff(3, 0), cdiff(0, -3)
-        t = jnp.bfloat16(threshold)
-        bn, be, bs, bw = dn > t, de > t, ds > t, dw > t
-        kn, ke, ks, kw = dn < -t, de < -t, ds < -t, dw < -t
-        cand = ((bn & be) | (be & bs) | (bs & bw) | (bw & bn)
-                | (kn & ke) | (ke & ks) | (ks & kw) | (kw & kn))
-        occupied = jnp.any(cand)
+        pairs = ((dn, de), (de, ds), (ds, dw), (dw, dn))
+        bright_m = None
+        dark_m = None
+        for a, b2 in pairs:
+            pb = jnp.minimum(a, b2)          # pair both-bright witness
+            pd = jnp.maximum(a, b2)          # pair both-dark witness (neg)
+            bright_m = pb if bright_m is None else jnp.maximum(bright_m, pb)
+            dark_m = pd if dark_m is None else jnp.minimum(dark_m, pd)
+        witness = jnp.maximum(bright_m, -dark_m)
+        occupied = jnp.max(witness.astype(jnp.float32)) > threshold
 
         @pl.when(occupied)
         def _(x=x, ci=ci):
@@ -1004,7 +1014,8 @@ def _kernel_sparse(x_hbm, out_ref, scratch, sem, *,
                 (band, chunk_w), jnp.float32)
 
 
-def variant_scores_sparse(img, threshold, band, chunk_w):
+def variant_scores_sparse(img, threshold, band, chunk_w,
+                          pret_dtype=jnp.float32):
     h, w = img.shape
     pad_h = (-h) % band
     w_out = w + ((-w) % chunk_w)
@@ -1015,7 +1026,8 @@ def variant_scores_sparse(img, threshold, band, chunk_w):
     n_bands = (h + pad_h) // band
     out = pl.pallas_call(
         partial(_kernel_sparse, threshold=float(threshold), band=band,
-                width=w_out, height=h, true_width=w, chunk_w=chunk_w),
+                width=w_out, height=h, true_width=w, chunk_w=chunk_w,
+                pret_dtype=pret_dtype),
         out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
         grid=(n_bands,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
@@ -1045,6 +1057,10 @@ def main6():
         ("sparse   b64 c640", lambda a: variant_scores_sparse(bf(a), 20, 64, 640)),
         ("sparse   b32 c640", lambda a: variant_scores_sparse(bf(a), 20, 32, 640)),
         ("sparse   b16 c640", lambda a: variant_scores_sparse(bf(a), 20, 16, 640)),
+        ("sparsebf b64 c640", lambda a: variant_scores_sparse(
+            bf(a), 20, 64, 640, pret_dtype=jnp.bfloat16)),
+        ("sparsebf b32 c640", lambda a: variant_scores_sparse(
+            bf(a), 20, 32, 640, pret_dtype=jnp.bfloat16)),
     ]
     for content, frames in (("worst", frames_w), ("realistic", frames_r)):
         print(f"== {content} content ==", flush=True)
