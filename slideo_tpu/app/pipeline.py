@@ -251,6 +251,14 @@ def _save_orb_index(key: str, index, slide_hw: tuple[int, int]) -> None:
         hamming.pack_descriptor_bits, static_argnums=(2, 3)
     )(di.desc, di.valid, s, k)
     smalls_dev = jnp.asarray(index.smalls, jnp.float16)
+    # NOTE on save_fetch_s attribution: on the tunneled TPU runtime,
+    # block_until_ready does NOT synchronize, so the first np.asarray here
+    # is the point where the WHOLE build's queued async work (a ~1 GB u8
+    # page-upload stream + per-chunk extract programs) drains at tunnel
+    # rate. Controlled probes (tools/probe_fetch2.py) show post-drain
+    # fetches run at 20-30 MB/s regardless of shape/layout — the large
+    # save_fetch_s readings are queue drain mis-attributed to download,
+    # not a fetch-path problem. The actual download here is ~160 MB.
     packed = np.asarray(packed_dev)
     vbits = np.asarray(vbits_dev)
     pts_h = np.asarray(index.pts)
@@ -291,6 +299,8 @@ def _save_sift_index(key: str, index, slide_hw: tuple[int, int]) -> None:
     tmp = target / f"index.npz.tmp.{os.getpid()}"
     # f16-cast on device BEFORE fetching (like the ORB save): the f32 desc
     # + thumbnail fetch of a 500-slide deck is ~500 MB over the tunnel.
+    # (See _save_orb_index on save-fetch timing semantics: the first fetch
+    # drains the whole build's async queue on this runtime.)
     with open(tmp, "wb") as f:
         np.savez(
             f,
