@@ -85,6 +85,21 @@ class OrbConfig:
                                     # v5e A/B: -6.5 ms alone, -20.5 ms on
                                     # top of polfused+c640 (341.6 vs 390.7
                                     # ms/batch-64); fidelity gates green.
+    describe_pass2: str = "sublanes_loop"  # pass-2 epilogue of the fused
+                                    # describe kernel (ops/pallas_orb.py):
+                                    # "sublanes_loop" stacks windows on
+                                    # sublanes so the MXU contracts the full
+                                    # 128 window lanes (the "lanes" form
+                                    # pads 72->128, 44% wasted passes) and
+                                    # the per-keypoint reduce runs over 72
+                                    # sublanes instead of 128 lanes with an
+                                    # f32 d-cast per block. v5e describe
+                                    # marginal at batch 8: 0.51 vs 0.76
+                                    # ms/frame ("sublanes" 3-D-reshape form
+                                    # 0.85 — rejected). Interpret-mode
+                                    # bit-equal; golden/oracle gates
+                                    # arbitrate the f32 summation-order
+                                    # change on chip.
     descriptor_bits: int = 256      # rBRIEF descriptor length in bits
     blur_ksize: int = 7             # Gaussian blur before description (OpenCV ORB)
     blur_sigma: float = 2.0

@@ -364,7 +364,7 @@ def describe(
             atlas, y_abs, x_abs, y_lo, y_hi, x_hi,
             cfg.descriptor_bits, cfg.pattern_seed,
             cfg.blur_ksize, cfg.blur_sigma,
-            x_lo=x_lo,
+            x_lo=x_lo, pass2=cfg.describe_pass2,
         )
     else:
         patches = orb.extract_patches(

@@ -261,6 +261,72 @@ def _kernel_desc(bins_blk, src, aligned_hbm, a_tab, d_tab,
     out_ref[:] = jnp.where(vt[:, n_bits:] > vt[:, :n_bits], 1.0, -1.0)
 
 
+def _kernel_desc_t(bins_blk, src, aligned_hbm, a_tab_t, d_tab_t,
+                   out_ref, wins, sems, *, loop: bool):
+    """Pass 2, transposed epilogue: windows stack on SUBLANES and the
+    second contraction runs over the window columns on the MXU.
+
+        u = wstack [KB*72, 128] @ d_b^T [128, 512]   (f32 acc)
+        vals[k, s] = sum_r a_b^T[r, s] * u[k*72+r, s]
+
+    vs the lane-concat form (_kernel_desc): the MXU contraction dim is the
+    full 128 window lanes (the lane form contracts over 72 rows padded to
+    128 — 44% wasted MXU passes), and the per-keypoint epilogue reduces
+    over 72 SUBLANES instead of 128 lanes with an f32 d-cast per block.
+    ``loop`` selects the per-keypoint-slice reduction vs one reshaped
+    [KB, 72, 512] sum (chip A/B arbitrates; tools/bench_orb_kernel.py).
+    """
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def start(slot, blk):
+        for k in range(KB):
+            idx = blk * KB + k
+            pltpu.make_async_copy(
+                aligned_hbm.at[src[idx]], wins.at[slot, k], sems.at[slot, k]
+            ).start()
+
+    @pl.when(i == 0)
+    def _():
+        start(0, 0)
+
+    @pl.when(i + 1 < n)
+    def _():
+        start((i + 1) % 2, i + 1)
+
+    w1s = []
+    for k in range(KB):
+        idx = i * KB + k
+        pltpu.make_async_copy(
+            aligned_hbm.at[src[idx]], wins.at[i % 2, k], sems.at[i % 2, k]
+        ).wait()
+        w1s.append(wins[i % 2, k])
+    rows = w1s[0].shape[0]                         # 72
+    wstack = jnp.concatenate(w1s, axis=0)          # [KB*72, 128] bf16
+    b = bins_blk[i]
+    dt = d_tab_t[b]                                # [128, 512] bf16
+    u = jax.lax.dot_general(
+        wstack, dt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                              # [KB*72, 512] f32
+    at = a_tab_t[b].astype(jnp.float32)            # [72, 512]
+    if loop:
+        vals = jnp.concatenate(
+            [
+                jnp.sum(u[k * rows:(k + 1) * rows] * at, axis=0,
+                        keepdims=True)
+                for k in range(KB)
+            ],
+            axis=0,
+        )                                          # [KB, 512]
+    else:
+        vals = jnp.sum(u.reshape(KB, rows, 512) * at[None], axis=1)
+    n_bits = vals.shape[1] // 2
+    out_ref[:] = jnp.where(
+        vals[:, n_bits:] > vals[:, :n_bits], 1.0, -1.0
+    )
+
+
 def orb_descriptors_pallas(
     atlas: jax.Array,
     ys: jax.Array,
@@ -274,6 +340,7 @@ def orb_descriptors_pallas(
     blur_sigma: float = 2.0,
     interpret: bool = False,
     x_lo: jax.Array | None = None,
+    pass2: str = "lanes",
 ) -> jax.Array:
     """Fused descriptors of keypoints at integer (ys, xs) on a [Ha, W] atlas.
 
@@ -316,8 +383,12 @@ def orb_descriptors_pallas(
     )
 
     a_np, d_np = _bin_tables(n_bits, seed, blur_ksize, float(blur_sigma))
-    a_tab = jnp.asarray(a_np, jnp.bfloat16)
-    d_tab = jnp.asarray(d_np, jnp.bfloat16)
+    if pass2 == "lanes":
+        a_tab = jnp.asarray(a_np, jnp.bfloat16)
+        d_tab = jnp.asarray(d_np, jnp.bfloat16)
+    else:  # "sublanes" / "sublanes_loop": transposed tables for _kernel_desc_t
+        a_tab = jnp.asarray(a_np.transpose(0, 2, 1), jnp.bfloat16)
+        d_tab = jnp.asarray(d_np.transpose(0, 2, 1), jnp.bfloat16)
     mx, my = _moment_masks()
     yb, xb = yb.astype(jnp.int32), xb.astype(jnp.int32)
     rr, cc = rr.astype(jnp.int32), cc.astype(jnp.int32)
@@ -383,8 +454,12 @@ def orb_descriptors_pallas(
     )
 
     # ---- pass 2: one wide contraction per same-bin block ----
+    if pass2 == "lanes":
+        kernel2 = _kernel_desc
+    else:
+        kernel2 = partial(_kernel_desc_t, loop=pass2 == "sublanes_loop")
     bits_p = pl.pallas_call(
-        _kernel_desc,
+        kernel2,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(kpp // KB,),

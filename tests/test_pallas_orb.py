@@ -149,6 +149,34 @@ def test_fused_descriptor_matches_reference_model():
     assert total_disagree <= n * 256 * 0.02, total_disagree
 
 
+@pytest.mark.parametrize("pass2", ["sublanes", "sublanes_loop"])
+def test_pass2_transposed_matches_lanes(pass2):
+    """The transposed pass-2 epilogue (windows stacked on sublanes, MXU
+    contraction over the 128 window lanes, 72-sublane reduce) computes the
+    same bilinear form as the lane-concat epilogue with a different f32
+    summation order; bits must match except at exact numeric ties (none in
+    this fixture)."""
+    rng = np.random.RandomState(7)
+    h, w = 192, 384
+    atlas = (rng.rand(h, w) * 255).astype(np.float32)
+    n = 48
+    ys = rng.randint(orb.HALF_PATCH, h - orb.HALF_PATCH, n).astype(np.int32)
+    xs = rng.randint(orb.HALF_PATCH, w - orb.HALF_PATCH, n).astype(np.int32)
+    args = (
+        jnp.asarray(atlas), jnp.asarray(ys), jnp.asarray(xs),
+        jnp.asarray(np.zeros(n, np.int32)),
+        jnp.asarray(np.full(n, h, np.int32)),
+        jnp.asarray(np.full(n, w, np.int32)),
+    )
+    ref = np.asarray(
+        orb_descriptors_pallas(*args, interpret=True, pass2="lanes")
+    )
+    got = np.asarray(
+        orb_descriptors_pallas(*args, interpret=True, pass2=pass2)
+    )
+    assert (got == ref).all()
+
+
 def test_fused_descriptor_clamps_padded_slots():
     rng = np.random.RandomState(0)
     h, w = 140, 260

@@ -287,7 +287,7 @@ def main():
             return kps.score.sum()
         return jax.lax.map(one, fr)
 
-    def mk_prod():
+    def mk_prod(pass2="lanes"):
         # The PRODUCTION two-pass kernel (pallas_orb.orb_descriptors_pallas).
         def run(fr):
             def one(f):
@@ -305,7 +305,8 @@ def main():
                 x_abs = kps.x + x_lo
                 x_hi = x_lo + jnp.take(jnp.asarray(widths), kps.level)
                 bits = po.orb_descriptors_pallas(
-                    atlas, y_abs, x_abs, y_lo, y_hi, x_hi, x_lo=x_lo)
+                    atlas, y_abs, x_abs, y_lo, y_hi, x_hi, x_lo=x_lo,
+                    pass2=pass2)
                 return bits.astype(jnp.int32).sum()
             return jax.lax.map(one, fr)
         return run
@@ -313,7 +314,8 @@ def main():
     variants = [("detect", detect_only)] + [
         (m, mk(m)) for m in ("dmaonly", "noroll", "nodesc", "full", "packroll",
                              "dual", "dualpack")
-    ] + [("prod", mk_prod())]
+    ] + [("prod", mk_prod()), ("prodt", mk_prod("sublanes")),
+         ("prodtl", mk_prod("sublanes_loop"))]
     if cli.variants:
         want = set(cli.variants.split(","))
         variants = [(n, f) for n, f in variants if n in want]
