@@ -141,7 +141,12 @@ class MatchConfig:
     # matches) that is < 320 iterations. 512 parallel hypotheses therefore
     # dominate the reference's effective sampling; the cv2 oracle A/B
     # (tests/test_fidelity_oracle.py) gates assignment parity.
-    ransac_iters: int = 512         # hypothesis count (cap; see above)
+    ransac_iters: int = 512         # hypothesis count (cap; see above).
+    # TPU hazard: keep this a power of two. An odd count (measured: 1000)
+    # combined with the screened path's native stage-2 table kernel crashed
+    # the TPU worker at one toy shape combination (r5 bisection, NOTES.md
+    # "Screened-path TPU worker crash") — a compiler-level fault; 512/
+    # screen_slides=24/interpret variants all run clean and bit-equal.
     ransac_refine_iters: int = 10   # least-squares refinement iterations
     ransac_seed: int = 0xA5AC       # base PRNG seed (reference uses OpenCV's RNG)
     # Acceptance cascade (lib.rs:329-381)
