@@ -238,12 +238,20 @@ class MatchTable(NamedTuple):
            VPU-dominant cost of the table, ~3x the plain max)
     slide_ids: [S] int32 global slide id of each column
     valid: [Q, S] bool (slide has >=1 valid descriptor)
+    dist2: [Q, S] float32 per-slide SECOND-best distance, or None. Built by
+           match_table_float for the SIFT engine's per-slide Lowe ratio test
+           (select.select_candidates_lowe): the ratio is evaluated within
+           each (frame, slide) pair — mirroring the reference's per-pair
+           kNN matching (lib.rs:249-292 runs the matcher per slide) — so
+           screening cannot change it (a per-slide quantity is identical
+           whether 16 or 500 columns are present).
     """
 
     dist: jax.Array
     train: jax.Array | None
     slide_ids: jax.Array
     valid: jax.Array
+    dist2: jax.Array | None = None
 
 
 def match_table(
@@ -415,15 +423,28 @@ def match_table_float(
             preferred_element_type=jnp.float32,
         ).reshape(q, chunk_slides, k_per_slide)
         scores = jnp.where(vchunk[None], scores, jnp.float32(_NEG))
-        return None, (
-            jnp.max(scores, -1), jnp.argmax(scores, -1), jnp.any(vchunk, -1)
+        best = jnp.max(scores, -1)
+        arg = jnp.argmax(scores, -1)
+        # Per-slide second best (for the per-slide Lowe ratio): re-max with
+        # the winning slot masked out. A slide with one valid slot gets
+        # _NEG -> an effectively infinite dist2 (no second neighbour:
+        # Lowe passes, the classic convention).
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
+        second = jnp.max(
+            jnp.where(k_iota == arg[..., None], jnp.float32(_NEG), scores),
+            -1,
         )
+        return None, (best, arg, second, jnp.any(vchunk, -1))
 
-    _, (best, arg, svalid) = jax.lax.scan(step, None, (desc_c, valid_c))
+    _, (best, arg, second, svalid) = jax.lax.scan(
+        step, None, (desc_c, valid_c)
+    )
     best = jnp.moveaxis(best, 0, 1).reshape(q, -1)[:, :n_slides]
     arg = jnp.moveaxis(arg, 0, 1).reshape(q, -1)[:, :n_slides].astype(jnp.int32)
+    second = jnp.moveaxis(second, 0, 1).reshape(q, -1)[:, :n_slides]
     svalid = svalid.reshape(-1)[:n_slides]
     dist = jnp.sqrt(jnp.maximum(2.0 - 2.0 * best, 0.0))
+    dist2 = jnp.sqrt(jnp.maximum(2.0 - 2.0 * second, 0.0))
     if slide_ids is None:
         slide_ids = jnp.arange(n_slides, dtype=jnp.int32)
     return MatchTable(
@@ -431,6 +452,7 @@ def match_table_float(
         train=arg,
         slide_ids=slide_ids,
         valid=jnp.broadcast_to(svalid[None, :], (q, n_slides)),
+        dist2=dist2,
     )
 
 
@@ -489,6 +511,11 @@ def screen_slides_batched(
     <= -254, below any real prefix dot), so the kernel runs bias-free.
     Vote rule identical to _screen_slides: per (query, slide) best distance,
     keep within best*1.05 + 1, count votes per slide.
+
+    With cfg.screen_prevote a strided-K pre-vote over the whole deck first
+    keeps cfg.screen_prevote_slides candidates per frame, and the full-K
+    vote runs on those slides only (gathered per frame) — the stage-1 MXU
+    work drops ~2.7x at 500 slides (see config.screen_prevote).
     """
     from .pallas_table import match_table_scores_pallas
 
@@ -507,6 +534,64 @@ def screen_slides_batched(
         axis=1,
     )
     qp = jnp.concatenate([q, ext], axis=1)
+    c_out = min(cfg.screen_slides, n_slides)
+
+    def votes_of(best):
+        # [..., nq, ns] scores -> [..., ns] vote counts (same rule as
+        # _screen_slides: keep within best-dist * ratio + 1 per query).
+        dist = (bits - best.astype(jnp.float32)) * 0.5
+        bestd = jnp.min(dist, axis=-1, keepdims=True)
+        keep = dist <= bestd * 1.05 + 1.0
+        return jnp.sum(keep, axis=-2).astype(jnp.float32)
+
+    p = cfg.screen_prevote_slides
+    if (
+        cfg.screen_prevote and n_slides > p
+        # strided slots must keep the kernel's lane geometry
+        and k_per_slide % (128 * cfg.screen_prevote_k_stride) == 0
+    ):
+        # Stage 1a: strided-K pre-vote with the strongest prevote queries
+        # (qdesc rows are strongest-first: _match_frames_screened_batch
+        # orders them by lax.top_k over the detection score).
+        stride = cfg.screen_prevote_k_stride
+        kp = k_per_slide // stride
+        npq = min(cfg.screen_prevote_queries, qs)
+        qpre = qp.reshape(b, qs, _SCREEN_D)[:, :npq].reshape(-1, _SCREEN_D)
+        desc_pre = jax.lax.slice(
+            index.screen_desc, (0, 0, 0),
+            (n_slides, _SCREEN_D, k_per_slide), (1, 1, stride),
+        )
+        best, _ = match_table_scores_pallas(
+            qpre, desc_pre, jnp.zeros((n_slides * kp,), jnp.float32),
+            n_slides, kp, dtype=jnp.int8, with_arg=False, transposed=True,
+            skip_bias=True, interpret=interpret,
+        )
+        votes = votes_of(best.reshape(b, npq, n_slides))
+        _, pre = jax.lax.top_k(votes, p)                       # [B, P]
+        pre = pre.astype(jnp.int32)
+
+        # Stage 1b: full-K vote over each frame's P surviving slides.
+        def one(args):
+            qi, ci = args                                      # [Qs,D], [P]
+
+            def slice_slide(c):
+                return jax.lax.dynamic_slice(
+                    index.screen_desc, (c, 0, 0),
+                    (1, _SCREEN_D, k_per_slide),
+                )[0]
+
+            sub = jax.lax.map(slice_slide, ci)                 # [P, D, K]
+            bi, _ = match_table_scores_pallas(
+                qi, sub, jnp.zeros((p * k_per_slide,), jnp.float32),
+                p, k_per_slide, dtype=jnp.int8, with_arg=False,
+                transposed=True, skip_bias=True, interpret=interpret,
+            )
+            v = votes_of(bi.reshape(qs, p))                    # [P]
+            _, t = jax.lax.top_k(v, c_out)
+            return jnp.take(ci, t)
+
+        return jax.lax.map(one, (qp.reshape(b, qs, _SCREEN_D), pre))
+
     best, _ = match_table_scores_pallas(
         qp,
         index.screen_desc,
@@ -519,12 +604,8 @@ def screen_slides_batched(
         skip_bias=True,
         interpret=interpret,
     )
-    best = best.reshape(b, qs, n_slides)
-    dist = (bits - best.astype(jnp.float32)) * 0.5
-    bestd = jnp.min(dist, axis=2, keepdims=True)
-    keep = dist <= bestd * 1.05 + 1.0
-    votes = jnp.sum(keep, axis=1).astype(jnp.float32)          # [B, S]
-    _, top = jax.lax.top_k(votes, min(cfg.screen_slides, n_slides))
+    votes = votes_of(best.reshape(b, qs, n_slides))            # [B, S]
+    _, top = jax.lax.top_k(votes, c_out)
     return top.astype(jnp.int32)
 
 

@@ -152,22 +152,24 @@ def select_candidates_lowe(
 ) -> CandidateMatches:
     """Candidate selection with Lowe's ratio test (the SIFT engine's rule).
 
-    A query keeps only its global nearest-neighbour match, and only when
-    best < lowe_ratio * second_best (second-best taken across the other
-    slides' per-slide bests — exact when NN1/NN2 land on different slides,
-    conservative otherwise). Grouping/compaction mirror
-    select_candidates_table.
+    PER-SLIDE Lowe: for each (query, slide) pair the pair's best match is
+    kept iff best < lowe_ratio * second_best WITHIN that slide
+    (table.dist2, built by hamming.match_table_float). This mirrors the
+    reference's matching shape — it runs its kNN + filter per
+    (frame, slide) pair, one slide's descriptor set at a time
+    (lib.rs:249-292) — and makes screening exact by construction: a
+    per-slide quantity is identical whether the table holds 16 screened
+    columns or the whole deck. (The earlier cross-column formulation made
+    the ratio depend on which OTHER slides were present, so the screened
+    and exact paths admitted different match sets on near-duplicate decks
+    — caught by test_fidelity_production's SIFT A/B at 250 slides.)
+    Grouping/compaction mirror select_candidates_table.
     """
     q, s = table.dist.shape
     big = jnp.float32(1e6)
+    assert table.dist2 is not None, "per-slide Lowe needs match_table_float"
     valid = table.valid & query_valid[:, None]
-    dist = jnp.where(valid, table.dist, big)
-    best = jnp.min(dist, axis=1, keepdims=True)
-    is_best = dist <= best * 1.0001
-    # second best: min over columns excluding the best column(s)
-    second = jnp.min(jnp.where(is_best, big, dist), axis=1, keepdims=True)
-    passes = best < lowe_ratio * second
-    keep = valid & is_best & passes
+    keep = valid & (table.dist < lowe_ratio * table.dist2)
 
     counts = jnp.sum(keep, axis=0).astype(jnp.float32)
     c = min(cfg.top_slides, s)

@@ -191,3 +191,33 @@ def test_sift_screened_equals_exact_near_duplicate_deck():
     resolved = sum(1 for a, t in zip(exact, truth) if a == t)
     assert resolved >= int(0.5 * sum(1 for t in truth if t >= 0)), (
         resolved, exact, truth)
+
+@pytest.mark.slow
+def test_prevote_screened_equals_exact_near_duplicate_deck():
+    """Hierarchical stage-1 (config.screen_prevote): 0 assignment diffs vs
+    the EXACT path at 250 near-duplicate slides — the same adversarial deck
+    that exposed the level-major 512-slot trim recall loss in round 3. The
+    strided pre-vote must keep every true slide inside its top-64 for the
+    full-K re-vote to recover it."""
+    rng = np.random.RandomState(11)
+    slides = _incremental_deck(rng)  # 250 slides
+    frames, truth = _perturbed_frames(rng, slides, 24)
+    orb = dataclasses.replace(
+        DEFAULT_CONFIG.orb, n_features=1000, max_keypoints=1024, n_levels=6,
+        query_buckets=(512,),
+    )
+    base = dataclasses.replace(DEFAULT_CONFIG, orb=orb)
+    exact_cfg = dataclasses.replace(
+        base, match=dataclasses.replace(base.match, screen_above_slides=1 << 30)
+    )
+    prevote_cfg = dataclasses.replace(
+        base, match=dataclasses.replace(base.match, screen_prevote=True)
+    )
+    assert prevote_cfg.match.screen_above_slides < len(slides)
+    assert prevote_cfg.match.screen_prevote_slides < len(slides)
+    exact = _assignments(slides, frames, exact_cfg)
+    prevote = _assignments(slides, frames, prevote_cfg, batched_screen=True)
+    diffs = [i for i, (a, b) in enumerate(zip(exact, prevote)) if a != b]
+    assert diffs == [], (diffs, [(exact[i], prevote[i]) for i in diffs])
+    resolved = sum(1 for a, t in zip(exact, truth) if a == t)
+    assert resolved >= int(0.8 * len(truth)), (resolved, len(truth))
