@@ -72,6 +72,23 @@ class OrbConfig:
                                     # overhead) — the production regime
                                     # (BACKGROUND.md:11, 200-700 kps) is
                                     # the sparse one.
+    fast_min_first: bool = False    # run the FAST van Herk chains on RAW
+                                    # circle taps and subtract the center
+                                    # once from the window extrema (exact
+                                    # f32 subtract of bf16 operands),
+                                    # instead of materializing 16 rounded
+                                    # (tap - center) bf16 diff planes:
+                                    # ~13 fewer VPU plane-ops per chunk.
+                                    # Bit-equal to the diff form wherever
+                                    # pixels are integers (pyramid level 0);
+                                    # on resized upper levels the single
+                                    # late subtract is STRICTLY less rounded
+                                    # than the per-tap bf16 diffs, so
+                                    # borderline scores can differ by 1 ulp.
+                                    # Gates: test_pallas_fast minfirst
+                                    # parity, golden fixtures, production
+                                    # oracle A/B. Off until the chip A/B
+                                    # lands (NOTES.md round 5).
     atlas_bf16: bool = True         # store the pyramid atlas as bfloat16:
                                     # halves the FAST sweep's DMA + tap-plane
                                     # VMEM traffic. Level-0 pixels (integers
@@ -204,6 +221,23 @@ class MatchConfig:
                                     # level-0 corners (tools/debug_ab_diff.py:
                                     # true slide ranked 89th at k=512, 1st at
                                     # full K on the failing frame; r3 A/B)
+    # Hierarchical stage-1 (batched path only): a cheap strided-K pre-vote
+    # over the whole deck keeps screen_prevote_slides candidates per frame,
+    # and the full-K vote then runs on those slides only — the stage-1 MXU
+    # work drops ~2.7x at 500 slides (the sweep is MXU-bound: the int8
+    # contraction pads D=160 to its granularity, so cost scales with S*K,
+    # not bits). The pre-vote only needs the true slide in the top-64 of
+    # 500 (vs top-16 final) and the strided subsample keeps every pyramid
+    # level (unlike the rejected level-major 512-slot trim — config above).
+    # Fidelity gates: tools/ab_screen.py 500x144 exact-vs-screened A/B and
+    # the production near-duplicate deck test must stay at 0 diffs.
+    screen_prevote: bool = False    # off until the chip A/B + fidelity
+                                    # gates land (see NOTES.md round 5)
+    screen_prevote_slides: int = 64   # survivors of the strided pre-vote
+    screen_prevote_k_stride: int = 4  # index-slot stride of the pre-vote
+                                      # (keeps all levels; 2048/4=512 slots)
+    screen_prevote_queries: int = 128  # strongest queries for the pre-vote
+                                       # (subset of screen_queries)
     knn_chunk: int = 65536          # index descriptors per top-k scan chunk
 
 

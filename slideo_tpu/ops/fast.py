@@ -47,11 +47,19 @@ def _window9_reduce(d: jax.Array, op) -> jax.Array:
     return op(w8, jnp.roll(d, -8, axis=0))
 
 
-def fast_scores(img: jax.Array, threshold: int) -> jax.Array:
+def fast_scores(
+    img: jax.Array, threshold: int, min_first: bool = False
+) -> jax.Array:
     """FAST-9/16 score map for a [H, W] grayscale image.
 
     Returns float32 [H, W]; score > threshold marks a corner. Non-corners get
     score 0. The 3px ring border is zeroed (circle would wrap).
+
+    min_first (config.fast_min_first): reduce RAW taps and subtract the
+    center once from the window extrema — max_s min_w (tap - c) ==
+    (max_s min_w tap) - c in exact arithmetic, and the late f32 subtract of
+    bf16 operands IS exact, so this form rounds strictly less than the
+    16 bf16 diff planes (bit-equal on integer pixels).
     """
     x = img.astype(jnp.float32)
     # Shifted copies of the image for the 16 circle offsets.  jnp.roll wraps,
@@ -62,10 +70,18 @@ def fast_scores(img: jax.Array, threshold: int) -> jax.Array:
         [jnp.roll(x, (-dy, -dx), axis=(0, 1)) for (dy, dx) in CIRCLE_OFFSETS],
         axis=0,
     )
-    d = (shifted - x[None]).astype(jnp.bfloat16)  # [16, H, W]
-    bright = _window9_reduce(d, jnp.minimum).max(axis=0)   # max_s min_win d
-    dark = -_window9_reduce(d, jnp.maximum).min(axis=0)    # max_s min_win -d
-    score = jnp.maximum(bright, dark).astype(jnp.float32)
+    if min_first:
+        t16 = shifted.astype(jnp.bfloat16)            # [16, H, W] raw taps
+        maxmin = _window9_reduce(t16, jnp.minimum).max(axis=0)
+        minmax = _window9_reduce(t16, jnp.maximum).min(axis=0)
+        bright = maxmin.astype(jnp.float32) - x
+        dark = x - minmax.astype(jnp.float32)
+        score = jnp.maximum(bright, dark)
+    else:
+        d = (shifted - x[None]).astype(jnp.bfloat16)  # [16, H, W]
+        bright = _window9_reduce(d, jnp.minimum).max(axis=0)  # max_s min_win d
+        dark = -_window9_reduce(d, jnp.maximum).min(axis=0)   # max_s min_win -d
+        score = jnp.maximum(bright, dark).astype(jnp.float32)
     score = jnp.where(score > float(threshold), score, 0.0)
     h, w = img.shape
     ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
@@ -85,6 +101,7 @@ def nms3x3(score: jax.Array) -> jax.Array:
 def score_map(
     img: jax.Array, threshold: int, chunk_w: int = 512,
     polarity_fused: bool = False, sparse_skip: bool = False,
+    min_first: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score map of a [H, W] image, backend-dispatched.
 
@@ -97,18 +114,19 @@ def score_map(
     chunk_w selects the Pallas kernel's column-chunk width (ignored on CPU).
     """
     if jax.default_backend() == "cpu":
-        return nms3x3(fast_scores(img, threshold))
+        return nms3x3(fast_scores(img, threshold, min_first=min_first))
     from .pallas_fast import fast_scores_pallas
 
     return fast_scores_pallas(
         img, threshold, chunk_w=chunk_w, polarity_fused=polarity_fused,
-        sparse_skip=sparse_skip,
+        sparse_skip=sparse_skip, min_first=min_first,
     )
 
 
 def score_map_batch(
     imgs: jax.Array, threshold: int, chunk_w: int = 512,
     polarity_fused: bool = False, sparse_skip: bool = False,
+    min_first: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score maps of a [B, H, W] batch, backend-dispatched.
 
@@ -117,12 +135,15 @@ def score_map_batch(
     batch. On CPU: the XLA path mapped over frames.
     """
     if jax.default_backend() == "cpu":
-        return jax.lax.map(lambda im: nms3x3(fast_scores(im, threshold)), imgs)
+        return jax.lax.map(
+            lambda im: nms3x3(fast_scores(im, threshold, min_first=min_first)),
+            imgs,
+        )
     from .pallas_fast import fast_scores_pallas_batch
 
     return fast_scores_pallas_batch(
         imgs, threshold, chunk_w=chunk_w, polarity_fused=polarity_fused,
-        sparse_skip=sparse_skip,
+        sparse_skip=sparse_skip, min_first=min_first,
     )
 
 

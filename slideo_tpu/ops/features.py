@@ -257,7 +257,7 @@ def detect_pyramid(atlas: jax.Array, meta: PyramidMeta, cfg: OrbConfig) -> Keypo
     """
     score_atlas = fast.score_map(
         atlas, cfg.fast_threshold, cfg.fast_chunk_w, cfg.fast_polarity_fused,
-        cfg.fast_sparse_skip,
+        cfg.fast_sparse_skip, cfg.fast_min_first,
     )
     return detect_from_scores(score_atlas, meta, cfg)
 

@@ -42,7 +42,7 @@ def _kernel(
     x_hbm, out_ref, scratch, sem, *,
     threshold: float, band: int, width: int, height: int, true_width: int,
     chunk_w: int, batched: bool = False, polarity_fused: bool = False,
-    sparse_skip: bool = False,
+    sparse_skip: bool = False, min_first: bool = False,
 ):
     if batched:
         # Grid (B, n_bands): one launch scores a whole frame batch — the
@@ -109,7 +109,7 @@ def _kernel(
                 x, ci, out_ref, band_start=band_start, threshold=threshold,
                 band=band, height=height, true_width=true_width,
                 chunk_w=chunk_w, batched=batched,
-                polarity_fused=polarity_fused, h=h,
+                polarity_fused=polarity_fused, h=h, min_first=min_first,
             )
 
         if not sparse_skip:
@@ -130,13 +130,24 @@ def _kernel(
         # and bf16_round(d) > t implies d > t for bf16-representable t,
         # so the f32 pretest stays a necessary condition for the bf16
         # chain's strict > threshold test.
+        # With min_first the chain tests bf16(tap) - c_f32 (exact f32), so
+        # the pretest TAPS must round through bf16 the same way to stay a
+        # necessary condition (an f32 tap can round UP into clearing the
+        # threshold). The center stays unrounded — the chain subtracts the
+        # f32 center. Identity casts when the atlas is already bf16.
+        def tap_pre(v):
+            return (
+                v.astype(jnp.bfloat16).astype(jnp.float32)
+                if min_first else v.astype(jnp.float32)
+            )
+
         c0 = jax.lax.slice(x, (4, 4), (4 + band, 4 + chunk_w))
 
         def cdiff(dy, dx, x=x):
             t = jax.lax.slice(
                 x, (4 + dy, 4 + dx), (4 + dy + band, 4 + dx + chunk_w)
             )
-            return t.astype(jnp.float32) - c0.astype(jnp.float32)
+            return tap_pre(t) - c0.astype(jnp.float32)
 
         dn, de, ds, dw = cdiff(-3, 0), cdiff(0, 3), cdiff(3, 0), cdiff(0, -3)
         bright_m = dark_m = None
@@ -162,7 +173,7 @@ def _kernel(
 
 def _compute_chunk(
     x, ci, out_ref, *, band_start, threshold, band, height, true_width,
-    chunk_w, batched, polarity_fused, h,
+    chunk_w, batched, polarity_fused, h, min_first=False,
 ):
     ch, cw = h - 6, chunk_w + 2 * HALO - 6
     center = jax.lax.slice(x, (3, 3), (3 + ch, 3 + cw))
@@ -172,22 +183,33 @@ def _compute_chunk(
             x, (3 + dy, 3 + dx), (3 + dy + ch, 3 + dx + cw)
         )
 
-    diffs = [
-        (tap(dy, dx) - center).astype(jnp.bfloat16)
-        for (dy, dx) in CIRCLE_OFFSETS
-    ]
+    if min_first:
+        # config.fast_min_first: reduce RAW taps, subtract the center once
+        # from the window extrema — max_s min_w (tap - c) ==
+        # (max_s min_w tap) - c exactly, and the late f32 subtract of bf16
+        # operands is exact: 16 bf16 diff planes (and their rounding)
+        # disappear from the chunk.
+        planes = [
+            tap(dy, dx).astype(jnp.bfloat16) for (dy, dx) in CIRCLE_OFFSETS
+        ]
+    else:
+        planes = [
+            (tap(dy, dx) - center).astype(jnp.bfloat16)
+            for (dy, dx) in CIRCLE_OFFSETS
+        ]
 
     # Circular 9-window reductions via van Herk/Gil-Werman: per-8-block
     # prefix/suffix chains, window[s] = op(suffix[s], prefix[s+8]).
+    # wmin = max_s min_window(planes), wmax = min_s max_window(planes).
     def seg_reduce(op, outer):
-        suf = list(diffs)
+        suf = list(planes)
         for blk in (0, 8):
             for s in range(blk + 6, blk - 1, -1):
-                suf[s] = op(diffs[s], suf[s + 1])
-        pre = list(diffs)
+                suf[s] = op(planes[s], suf[s + 1])
+        pre = list(planes)
         for blk in (0, 8):
             for j in range(blk + 1, blk + 8):
-                pre[j] = op(pre[j - 1], diffs[j])
+                pre[j] = op(pre[j - 1], planes[j])
         acc = None
         for s in range(16):
             w9 = op(suf[s], pre[(s + 8) % 16])
@@ -195,31 +217,36 @@ def _compute_chunk(
         return acc
 
     if polarity_fused:
-        # Interleave the bright/dark chains so each diffs plane is read
+        # Interleave the bright/dark chains so each input plane is read
         # once per chain step (identical math, different schedule).
-        sufn, sufx = list(diffs), list(diffs)
+        sufn, sufx = list(planes), list(planes)
         for blk in (0, 8):
             for s in range(blk + 6, blk - 1, -1):
-                d = diffs[s]
+                d = planes[s]
                 sufn[s] = jnp.minimum(d, sufn[s + 1])
                 sufx[s] = jnp.maximum(d, sufx[s + 1])
-        pren, prex = list(diffs), list(diffs)
+        pren, prex = list(planes), list(planes)
         for blk in (0, 8):
             for j in range(blk + 1, blk + 8):
-                d = diffs[j]
+                d = planes[j]
                 pren[j] = jnp.minimum(pren[j - 1], d)
                 prex[j] = jnp.maximum(prex[j - 1], d)
-        bright = dark = None
+        wmin = wmax = None
         for s in range(16):
             w9n = jnp.minimum(sufn[s], pren[(s + 8) % 16])
             w9x = jnp.maximum(sufx[s], prex[(s + 8) % 16])
-            bright = w9n if bright is None else jnp.maximum(bright, w9n)
-            dark = w9x if dark is None else jnp.minimum(dark, w9x)
-        dark = -dark
+            wmin = w9n if wmin is None else jnp.maximum(wmin, w9n)
+            wmax = w9x if wmax is None else jnp.minimum(wmax, w9x)
     else:
-        bright = seg_reduce(jnp.minimum, jnp.maximum)
-        dark = -seg_reduce(jnp.maximum, jnp.minimum)
-    score = jnp.maximum(bright, dark).astype(jnp.float32)
+        wmin = seg_reduce(jnp.minimum, jnp.maximum)
+        wmax = seg_reduce(jnp.maximum, jnp.minimum)
+    if min_first:
+        cf = center.astype(jnp.float32)
+        score = jnp.maximum(
+            wmin.astype(jnp.float32) - cf, cf - wmax.astype(jnp.float32)
+        )
+    else:
+        score = jnp.maximum(wmin, -wmax).astype(jnp.float32)
     score = jnp.where(score > threshold, score, 0.0)
 
     # Zero the global 3px image ring BEFORE NMS (parity with ops/fast.py:
@@ -264,6 +291,7 @@ def fast_scores_pallas(
     interpret: bool = False,
     polarity_fused: bool = False,
     sparse_skip: bool = False,
+    min_first: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score map of a [H, W] float32 image (Pallas kernel).
 
@@ -289,6 +317,7 @@ def fast_scores_pallas(
             _kernel, threshold=float(threshold), band=band, width=w_out,
             height=h, true_width=w, chunk_w=chunk_w,
             polarity_fused=polarity_fused, sparse_skip=sparse_skip,
+            min_first=min_first,
         ),
         out_shape=jax.ShapeDtypeStruct((h + pad_h, w_out), jnp.float32),
         grid=(n_bands,),
@@ -316,6 +345,7 @@ def fast_scores_pallas_batch(
     interpret: bool = False,
     polarity_fused: bool = False,
     sparse_skip: bool = False,
+    min_first: bool = False,
 ) -> jax.Array:
     """NMS'd FAST score maps of a [B, H, W] batch in ONE kernel launch.
 
@@ -340,6 +370,7 @@ def fast_scores_pallas_batch(
             _kernel, threshold=float(threshold), band=band, width=w_out,
             height=h, true_width=w, chunk_w=chunk_w, batched=True,
             polarity_fused=polarity_fused, sparse_skip=sparse_skip,
+            min_first=min_first,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h + pad_h, w_out), jnp.float32),
         grid=(b, n_bands),

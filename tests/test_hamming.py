@@ -250,3 +250,53 @@ def test_pack_descriptor_bits_matches_numpy(rng):
         np.asarray(desc2).reshape(s * k, d)[valid], desc[valid]
     )
     np.testing.assert_array_equal(np.asarray(valid2).reshape(-1), valid)
+
+def test_screen_prevote_keeps_true_slide():
+    # own RandomState: the session-scoped rng fixture's state depends on
+    # which tests ran before, and this test's margin assertions need a
+    # pinned draw.
+    rng = np.random.RandomState(7)
+    """Hierarchical stage-1 (config.screen_prevote): the strided-K pre-vote
+    + per-frame full-K re-vote returns candidates that (a) contain each
+    frame's true slide as the top vote, and (b) agree with the single-stage
+    full-K path on the dominant candidate. Tail candidates may differ (the
+    re-vote's best-distance threshold is computed over the survivors, not
+    the whole deck) — assignment parity at deck scale is gated by
+    test_fidelity_production.py and tools/ab_screen.py."""
+    s, k = 24, 512  # k/stride must stay a multiple of 128 (kernel geometry)
+    base = dataclasses.replace(
+        DEFAULT_CONFIG.match,
+        screen_slides=6, screen_queries=32,
+        screen_prevote_slides=8, screen_prevote_k_stride=4,
+        screen_prevote_queries=16,
+    )
+    d = _random_desc(rng, s * k).reshape(s, k, 256)
+    valid = rng.rand(s, k) > 0.15
+    d = np.where(valid[..., None], d, 0).astype(np.int8)
+    index = hamming.build_index(jnp.asarray(d), jnp.asarray(valid))
+    index = index._replace(screen_desc=hamming.build_screen_desc(
+        jnp.asarray(d.reshape(s * k, 256)), jnp.asarray(valid.reshape(-1)),
+        s, k,
+    ))
+
+    b, qs = 4, base.screen_queries
+    true_slides = [rng.randint(s) for _ in range(b)]
+    # Sample VALID slots only: invalid slots are zeroed in d, and a
+    # zero query votes uniformly for every slide (pure noise).
+    qdesc = np.stack([
+        np.where(rng.rand(qs, 256) < 0.04, -1, 1).astype(np.int8)
+        * d[t, rng.choice(np.where(valid[t])[0], qs, replace=False)]
+        for t in true_slides
+    ])
+
+    outs = {}
+    for name, pv in (("single", False), ("prevote", True)):
+        cfg = dataclasses.replace(base, screen_prevote=pv)
+        outs[name] = np.asarray(hamming.screen_slides_batched(
+            jnp.asarray(qdesc), index, s, k, cfg,
+        ))
+        assert outs[name].shape == (b, base.screen_slides)
+    for f, t in enumerate(true_slides):
+        assert t in outs["prevote"][f].tolist(), (f, t, outs["prevote"][f])
+        assert outs["prevote"][f][0] == outs["single"][f][0], (
+            f, outs["prevote"][f], outs["single"][f])

@@ -127,3 +127,62 @@ def test_pallas_fast_sparse_skip_parity(rng):
         jnp.asarray(imgs), 20, band=64, interpret=True, sparse_skip=True))
     for b2 in range(2):
         np.testing.assert_array_equal(got[b2], _ref(imgs[b2]))
+
+
+def test_pallas_fast_min_first_parity(rng):
+    """fast_min_first: chains on RAW taps + one late exact f32 subtract.
+
+    (a) Pallas (interpret) == the XLA min_first path bit-for-bit, on both
+        integer and fractional images, with and without sparse_skip.
+    (b) On INTEGER pixels (atlas level 0) min_first == the diff form
+        bit-for-bit (every quantity is exact in bf16 either way).
+    (c) On fractional pixels (resized upper levels) the two forms may
+        differ only at rounding scale: assert scores agree within 1.0
+        and corner sets differ on <1% of pixels.
+    """
+    from slideo_tpu.ops.pallas_fast import fast_scores_pallas_batch
+
+    ints = (rng.rand(150, 260) * 255).astype(np.uint8).astype(np.float32)
+    frac = (rng.rand(150, 260) * 255).astype(np.float32)
+
+    def xla_mf(img):
+        h, w = img.shape
+        score = np.asarray(fast.nms3x3(
+            fast.fast_scores(jnp.asarray(img), 20, min_first=True)))
+        ys, xs = np.mgrid[0:h, 0:w]
+        inb = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+        return np.where(inb, score, 0.0)
+
+    for img in (ints, frac):
+        want = xla_mf(img)
+        for sskip in (False, True):
+            got = np.asarray(fast_scores_pallas(
+                jnp.asarray(img), 20, band=64, interpret=True,
+                polarity_fused=True, sparse_skip=sskip, min_first=True))
+            np.testing.assert_array_equal(got, want)
+        # bf16 input (the atlas_bf16 config) stays mutually bit-identical
+        got16 = np.asarray(fast_scores_pallas(
+            jnp.asarray(img, jnp.bfloat16), 20, band=64, interpret=True,
+            polarity_fused=True, min_first=True))
+        want16 = xla_mf(np.asarray(
+            jnp.asarray(img, jnp.bfloat16), np.float32))
+        np.testing.assert_array_equal(got16, want16)
+
+    # batched kernel parity
+    imgs = np.stack([ints, frac])
+    got = np.asarray(fast_scores_pallas_batch(
+        jnp.asarray(imgs), 20, band=64, interpret=True, min_first=True,
+        sparse_skip=True))
+    for b in range(2):
+        np.testing.assert_array_equal(got[b], xla_mf(imgs[b]))
+
+    # (b) integer pixels: min_first == diff form exactly
+    np.testing.assert_array_equal(xla_mf(ints), _ref(ints))
+    # (c) fractional pixels: PRE-NMS scores drift only at rounding scale
+    # (post-NMS maps can differ structurally — an ulp flips the 3x3
+    # winner — so the set-level check below is on corner density).
+    a = np.asarray(fast.fast_scores(jnp.asarray(frac), 20, min_first=True))
+    b = np.asarray(fast.fast_scores(jnp.asarray(frac), 20))
+    both = (a > 0) & (b > 0)
+    assert np.abs(a[both] - b[both]).max() <= 1.0
+    assert ((a > 0) != (b > 0)).mean() < 0.01
