@@ -12,6 +12,7 @@ testable without it.
 
 from __future__ import annotations
 
+import os
 import re
 import shutil
 import subprocess
@@ -51,12 +52,45 @@ class Options:
     reuse_target_dir_content: bool = True
 
 
+_POPPLER_PATH_DONE = False
+
+
+def _ensure_poppler_on_path() -> None:
+    """Prepend a vendored/env-pointed poppler to PATH once per process.
+
+    Mirrors the reference's Windows bundling: its release unpacks a
+    poppler build next to the binary and prepends it to PATH at startup
+    (/root/reference/.github/workflows/release.yml:118-126,
+    crates/app/src/main.rs:44-45). Here the Windows release bundle ships
+    poppler under slideo_tpu/_vendor/poppler (release.yml build-windows
+    job); SLIDEO_POPPLER_DIR overrides for custom installs.
+    """
+    global _POPPLER_PATH_DONE
+    if _POPPLER_PATH_DONE:
+        return
+    _POPPLER_PATH_DONE = True
+    pkg = Path(__file__).resolve().parent.parent
+    candidates = []
+    env_dir = os.environ.get("SLIDEO_POPPLER_DIR")
+    if env_dir:
+        candidates.append(Path(env_dir))
+    vend = pkg / "_vendor" / "poppler"
+    # poppler-windows release layout and plain bin/ layouts
+    candidates += [vend / "Library" / "bin", vend / "bin", vend]
+    for c in candidates:
+        if c.is_dir():
+            os.environ["PATH"] = str(c) + os.pathsep + os.environ.get("PATH", "")
+            break
+
+
 def have_poppler() -> bool:
+    _ensure_poppler_on_path()
     return shutil.which("pdftocairo") is not None and shutil.which("pdfinfo") is not None
 
 
 def pdf_info(pdf: Path) -> PdfInfo:
     """Run ``pdfinfo`` and parse its ``Key: Value`` lines (pdf_info.rs:16-46)."""
+    _ensure_poppler_on_path()
     out = subprocess.run(
         ["pdfinfo", str(pdf)], capture_output=True, text=True, check=True
     ).stdout
@@ -93,6 +127,7 @@ def pdftocairo(
     Progress is reported by polling the output directory every 500 ms while
     the subprocess runs, exactly like the reference (pdftocairo.rs:195-213).
     """
+    _ensure_poppler_on_path()
     options = options or Options()
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)

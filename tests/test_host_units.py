@@ -100,3 +100,28 @@ def test_native_fallback_contract():
     # either way via the hashlib fallback (exercised above). When the lib is
     # present, parity with hashlib is asserted in test_hamming/test above.
     assert isinstance(native.available(), bool)
+
+
+def test_vendored_poppler_path_discovery(tmp_path, monkeypatch):
+    """_ensure_poppler_on_path prepends SLIDEO_POPPLER_DIR (or the package
+    _vendor dir) to PATH once, so a bundled poppler resolves without a
+    system install — the reference's Windows-release behavior
+    (main.rs:44-45)."""
+    import os
+    import stat
+
+    fake = tmp_path / "popplerbin"
+    fake.mkdir()
+    for exe in ("pdftocairo", "pdfinfo"):
+        p = fake / exe
+        p.write_text("#!/bin/sh\nexit 0\n")
+        p.chmod(p.stat().st_mode | stat.S_IXUSR | stat.S_IXGRP | stat.S_IXOTH)
+    monkeypatch.setenv("SLIDEO_POPPLER_DIR", str(fake))
+    # empty PATH: only the vendored dir can resolve the binaries
+    monkeypatch.setenv("PATH", str(tmp_path / "nothing"))
+    monkeypatch.setattr(pdf_io, "_POPPLER_PATH_DONE", False)
+    assert pdf_io.have_poppler()
+    assert os.environ["PATH"].startswith(str(fake))
+    # idempotent: a second call must not prepend again
+    pdf_io._ensure_poppler_on_path()
+    assert os.environ["PATH"].count(str(fake)) == 1

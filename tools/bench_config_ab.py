@@ -82,9 +82,15 @@ def main():
             orb_kw["fast_polarity_fused"] = False
         if "f32atlas" in name:
             orb_kw["atlas_bf16"] = False
+        if "minfirst" in name:
+            orb_kw["fast_min_first"] = True
         if orb_kw:
             cfg = dataclasses.replace(
                 cfg, orb=dataclasses.replace(cfg.orb, **orb_kw)
+            )
+        if "prevote" in name:
+            cfg = dataclasses.replace(
+                cfg, match=dataclasses.replace(cfg.match, screen_prevote=True)
             )
         return cfg
 
